@@ -1,0 +1,124 @@
+"""Conv-stack building blocks.
+
+Behavioral parity targets (cited into /root/reference, semantics re-derived,
+not translated):
+  - Swish activation          (v1/model_train_test.py:48-50)
+  - CALayer channel attention (v1/model_train_test.py:53-67)
+  - SpatialAttention          (v1/model_train_test.py:69-81)
+  - LayerNorm2d               (v1/model_train_test.py:144-156)
+  - ResidualBlock             (v1/model_train_test.py:159-178)
+
+All modules are NHWC (TPU-native). The reference is NCHW PyTorch; only the
+math is preserved, the layout and implementation are JAX/XLA-first: 1x1 convs
+become channel matmuls the MXU likes, and the CA/SA gates are pure elementwise
+chains XLA fuses into the surrounding convs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Kaiming-normal init matching torch.nn.init.kaiming_normal_(w, a=0.2)
+# (reference init policy, v1/model_train_test.py:326-337):
+# std = sqrt(2 / ((1 + a^2) * fan_in))  -> variance scale 2/(1+0.04).
+kaiming_init = nn.initializers.variance_scaling(
+    scale=2.0 / (1.0 + 0.2**2), mode="fan_in", distribution="normal"
+)
+
+
+def swish(x: jax.Array) -> jax.Array:
+    """x * sigmoid(x) (v1:48-50). jax.nn.silu is the fused XLA form."""
+    return jax.nn.silu(x)
+
+
+class LayerNorm2d(nn.Module):
+    """Per-sample, per-channel normalization over the spatial dims.
+
+    Matches the reference's custom LayerNorm2d (v1:144-156): mean/var are taken
+    over (H, W) independently for every (sample, channel) pair — i.e. instance
+    normalization with a per-channel affine. `var` uses the biased estimator
+    (torch `unbiased=False`).
+
+    NHWC input: (B, H, W, C).
+    """
+
+    num_channels: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        weight = self.param("weight", nn.initializers.ones, (self.num_channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.num_channels,))
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * weight + bias
+
+
+class CALayer(nn.Module):
+    """Squeeze-excite channel attention (v1:53-67).
+
+    Global average pool -> 1x1 conv C->C/r -> swish -> 1x1 conv C/r->C ->
+    sigmoid -> channel gate. In NHWC the 1x1 convs over a pooled (B,1,1,C)
+    tensor are plain channel matmuls (Dense, no bias — the reference's convs
+    have bias=False).
+    """
+
+    channels: int
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pooled = jnp.mean(x, axis=(1, 2))  # (B, C)
+        hidden = nn.Dense(self.channels // self.reduction, use_bias=False,
+                          kernel_init=kaiming_init, name="squeeze")(pooled)
+        hidden = swish(hidden)
+        gate = nn.Dense(self.channels, use_bias=False,
+                        kernel_init=kaiming_init, name="excite")(hidden)
+        gate = jax.nn.sigmoid(gate)
+        return x * gate[:, None, None, :]
+
+
+class SpatialAttention(nn.Module):
+    """CBAM-style spatial attention (v1:69-81).
+
+    Channel-mean and channel-max maps -> concat (B,H,W,2) -> 7x7 conv -> sigmoid
+    -> spatial gate.
+    """
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        avg_map = jnp.mean(x, axis=-1, keepdims=True)
+        max_map = jnp.max(x, axis=-1, keepdims=True)
+        stacked = jnp.concatenate([avg_map, max_map], axis=-1)
+        attn = nn.Conv(1, kernel_size=(self.kernel_size, self.kernel_size),
+                       padding="SAME", use_bias=False,
+                       kernel_init=kaiming_init, name="conv")(stacked)
+        return x * jax.nn.sigmoid(attn)
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3 -> LN2d -> swish -> conv3x3 -> LN2d -> CA -> SA -> +res -> swish.
+
+    (v1:159-178.) The two attention gates and the residual/activation tail are
+    elementwise; XLA fuses them into one VPU pass after each conv.
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        residual = x
+        h = nn.Conv(self.channels, (3, 3), padding="SAME",
+                    kernel_init=kaiming_init, name="conv1")(x)
+        h = LayerNorm2d(self.channels, name="ln1")(h)
+        h = swish(h)
+        h = nn.Conv(self.channels, (3, 3), padding="SAME",
+                    kernel_init=kaiming_init, name="conv2")(h)
+        h = LayerNorm2d(self.channels, name="ln2")(h)
+        h = CALayer(self.channels, name="ca")(h)
+        h = SpatialAttention(name="sa")(h)
+        return swish(h + residual)

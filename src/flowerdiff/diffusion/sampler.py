@@ -1,0 +1,141 @@
+"""Reverse-diffusion samplers, TPU-first.
+
+The reference samples with a Python loop of 1000 sequential p_sample calls
+(v1:594-598, v4:170-175) — per-step dispatch overhead dominates on small
+latents. Here the entire reverse process is ONE `lax.scan` inside a single
+jitted computation: XLA compiles the step once, keeps state resident in
+HBM/VMEM, and fuses the posterior arithmetic into the epsilon-model's matmuls.
+This is the primary source of the framework's sampling speedup.
+
+`sample_with_trajectory` additionally stacks every intermediate state (scan
+`ys`), replacing the reference's `sample_with_intermediates` capture list
+(v4:185-199) and the re-noising ping-pong animation driver's per-frame loops
+(v1:884-960); callers gather the frames they need on the host.
+
+`ddim_sample` is a deterministic accelerated sampler (Song et al. 2021,
+"Denoising Diffusion Implicit Models") over a strided subset of the schedule —
+a capability upgrade the reference lacks, exposed for fast preview sampling.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from flowerdiff.diffusion.ddpm import _bcast, p_sample, p_sample_mean
+from flowerdiff.diffusion.schedule import DiffusionSchedule
+
+EpsFn = Callable[..., jax.Array]
+
+
+def _reverse_scan(
+    sched: DiffusionSchedule,
+    eps_fn: EpsFn,
+    rng: jax.Array,
+    x_init: jax.Array,
+    cond: tuple,
+    t_start: int,
+    collect: bool,
+):
+    """Scan t = t_start-1 .. 0 applying the ancestral step."""
+
+    def step(carry, t):
+        x, key = carry
+        key, nkey = jax.random.split(key)
+        t_vec = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        eps_theta = eps_fn(x, t_vec, *cond)
+        noise = jax.random.normal(nkey, x.shape, dtype=x.dtype)
+        x = p_sample(sched, x, t_vec, eps_theta, noise)
+        return (x, key), (x if collect else None)
+
+    timesteps = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
+    (x, _), traj = jax.lax.scan(step, (x_init, rng), timesteps)
+    return x, traj
+
+
+def sample(
+    sched: DiffusionSchedule,
+    eps_fn: EpsFn,
+    rng: jax.Array,
+    shape: tuple,
+    *cond: jax.Array,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Full ancestral sampling from pure noise (v1:594-598 as one scan)."""
+    init_key, scan_key = jax.random.split(rng)
+    x = jax.random.normal(init_key, shape, dtype=dtype)
+    x, _ = _reverse_scan(sched, eps_fn, scan_key, x, cond, sched.n_steps, False)
+    return x
+
+
+def sample_from(
+    sched: DiffusionSchedule,
+    eps_fn: EpsFn,
+    rng: jax.Array,
+    x_t: jax.Array,
+    t_start: int,
+    *cond: jax.Array,
+) -> jax.Array:
+    """Denoise an existing x_t from timestep `t_start` down to 0 — the
+    denoising-path visualization's inner loop (v1:686-694) as one scan."""
+    x, _ = _reverse_scan(sched, eps_fn, rng, x_t, cond, t_start, False)
+    return x
+
+
+def sample_with_trajectory(
+    sched: DiffusionSchedule,
+    eps_fn: EpsFn,
+    rng: jax.Array,
+    shape: tuple,
+    *cond: jax.Array,
+    dtype=jnp.float32,
+):
+    """Full sampling, returning (x0, trajectory) with trajectory[i] = state
+    after the step at t = n_steps-1-i (so trajectory[-1] == x0)."""
+    init_key, scan_key = jax.random.split(rng)
+    x = jax.random.normal(init_key, shape, dtype=dtype)
+    x, traj = _reverse_scan(sched, eps_fn, scan_key, x, cond, sched.n_steps, True)
+    return x, traj
+
+
+def ddim_sample(
+    sched: DiffusionSchedule,
+    eps_fn: EpsFn,
+    rng: jax.Array,
+    shape: tuple,
+    *cond: jax.Array,
+    num_steps: int = 50,
+    eta: float = 0.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """DDIM sampling over `num_steps` strided timesteps (eta=0: deterministic)."""
+    init_key, scan_key = jax.random.split(rng)
+    x = jax.random.normal(init_key, shape, dtype=dtype)
+    # Strided timestep pairs (t, t_prev); t_prev = -1 means "alpha_bar = 1".
+    ts = jnp.linspace(0, sched.n_steps - 1, num_steps).round().astype(jnp.int32)[::-1]
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], dtype=jnp.int32)])
+
+    abar_full = jnp.concatenate([jnp.ones((1,), jnp.float32), sched.alpha_bar])
+
+    def step(carry, t_pair):
+        x, key = carry
+        t, t_prev = t_pair
+        key, nkey = jax.random.split(key)
+        t_vec = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        eps_theta = eps_fn(x, t_vec, *cond)
+        abar_t = _bcast(sched.alpha_bar[t_vec], x)
+        abar_prev = _bcast(abar_full[t_prev + 1] * jnp.ones_like(sched.alpha_bar[t_vec]), x)
+        x0_pred = (x - jnp.sqrt(1.0 - abar_t) * eps_theta) / jnp.sqrt(abar_t)
+        sigma = (
+            eta
+            * jnp.sqrt((1.0 - abar_prev) / (1.0 - abar_t))
+            * jnp.sqrt(1.0 - abar_t / abar_prev)
+        )
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - abar_prev - sigma**2, 0.0)) * eps_theta
+        noise = jax.random.normal(nkey, x.shape, dtype=x.dtype)
+        x = jnp.sqrt(abar_prev) * x0_pred + dir_xt + sigma * noise
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, scan_key), (ts, ts_prev))
+    return x

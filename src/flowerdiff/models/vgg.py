@@ -1,0 +1,106 @@
+"""VGG16 feature extractor for the perceptual loss.
+
+Parity target: VGGPerceptualLoss (v1/model_train_test.py:962-981) — frozen
+torchvision `vgg16(pretrained=True).features[:16]` (through relu3_3), inputs
+normalized with ImageNet mean/std, euclidean distance between feature maps.
+
+This is a from-scratch Flax re-implementation of that prefix:
+  conv3-64, conv3-64, maxpool2, conv3-128, conv3-128, maxpool2,
+  conv3-256, conv3-256, conv3-256           (ReLU after every conv)
+
+Pretrained weights: this environment has no network egress and no torchvision,
+so weights are loaded from a converted `.npz` asset when present
+(tools/convert_vgg_weights.py converts a torchvision state_dict file offline).
+When the asset is absent, the extractor falls back to FIXED seeded random
+filters — a random-projection perceptual loss; still a meaningful structural
+similarity signal, and the fallback is reported so runs are never silently
+non-comparable. The asset path can be set via FLOWERDIFF_VGG_WEIGHTS.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from flowerdiff.losses.distances import euclidean_distance_loss
+
+# (channels, layer_name) per conv in features[:16]; 'P' marks a 2x2 maxpool.
+_VGG16_PREFIX = [
+    (64, "conv1_1"), (64, "conv1_2"), "P",
+    (128, "conv2_1"), (128, "conv2_2"), "P",
+    (256, "conv3_1"), (256, "conv3_2"), (256, "conv3_3"),
+]
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+DEFAULT_WEIGHTS_PATH = os.environ.get(
+    "FLOWERDIFF_VGG_WEIGHTS",
+    os.path.join(os.path.dirname(__file__), "..", "assets", "vgg16_features16.npz"),
+)
+
+
+class VGGFeatures(nn.Module):
+    """VGG16 features[:16] (through relu3_3), NHWC."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = x
+        for item in _VGG16_PREFIX:
+            if item == "P":
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            else:
+                ch, name = item
+                h = nn.Conv(ch, (3, 3), padding="SAME", name=name)(h)
+                h = nn.relu(h)
+        return h
+
+
+def load_vgg_params(path: Optional[str] = None, rng_seed: int = 0):
+    """Load converted VGG16 weights, or build seeded random fallback params.
+
+    Returns (params, pretrained: bool). The .npz layout is
+    {name}_kernel: (3,3,in,out) NHWC-ready, {name}_bias: (out,).
+    """
+    path = path or DEFAULT_WEIGHTS_PATH
+    model = VGGFeatures()
+    if path and os.path.exists(path):
+        data = np.load(path)
+        params = {"params": {}}
+        for item in _VGG16_PREFIX:
+            if item == "P":
+                continue
+            _, name = item
+            params["params"][name] = {
+                "kernel": jnp.asarray(data[f"{name}_kernel"]),
+                "bias": jnp.asarray(data[f"{name}_bias"]),
+            }
+        return params, True
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.key(rng_seed), dummy)
+    return params, False
+
+
+class VGGPerceptual:
+    """Frozen perceptual criterion (v1:962-981): normalize both images with
+    ImageNet statistics, run the feature prefix, euclidean feature distance.
+    """
+
+    def __init__(self, params=None, pretrained: Optional[bool] = None):
+        if params is None:
+            params, pretrained = load_vgg_params()
+        self.params = params
+        self.pretrained = bool(pretrained)
+        self._model = VGGFeatures()
+
+    def features(self, x: jax.Array) -> jax.Array:
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+        return self._model.apply(self.params, (x - mean) / std)
+
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        return euclidean_distance_loss(self.features(x), self.features(y))

@@ -1,0 +1,156 @@
+"""Latent-space conditional DDPM training.
+
+Parity target: train_conditional_diffusion (v1/model_train_test.py:1241-1285;
+v3:1541-1587 for the dual-condition variant): the VAE is frozen
+(`autoencoder.eval()`, encode under no_grad, v1:1257-1259); AdamW(1e-3,
+wd 1e-5) + CosineAnnealingWarmRestarts(T_0=10, T_mult=2) stepped per epoch;
+grad-clip 1.0; euclidean epsilon-loss at uniform random timesteps.
+
+TPU-first: the frozen-VAE encode, reparameterization, q_sample, denoiser
+forward, loss, and optimizer update are ONE jitted function — the frozen
+encoder runs under stop_gradient inside the same XLA program (no separate
+no_grad pass, no host round-trip for the latents).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training.train_state import TrainState
+
+from flowerdiff.diffusion import DiffusionSchedule, ddpm_eps_loss, linear_schedule
+from flowerdiff.models.latent_unet import ConditionalLatentDenoiser
+from flowerdiff.models.vae import FlowerVAE
+from flowerdiff.train.schedules import cosine_warm_restarts_schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class LatentDiffusionConfig:
+    lr: float = 1e-3
+    weight_decay: float = 1e-5
+    grad_clip: float = 1.0
+    n_steps: int = 1000
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    t0: int = 10  # warm-restart period (epochs)
+    t_mult: int = 2
+    steps_per_epoch: int = 16  # Flowers102 train: 1020 imgs / batch 64
+    latent_dim: int = 256
+    hidden_dims: tuple = (256, 512, 1024, 512, 256)
+    time_emb_dim: int = 256
+    num_classes: int = 102
+    num_colors: Optional[int] = None  # 10 for the v3 preset
+    dropout_rate: float = 0.3
+    shared_cond_proj: bool = True
+    global_skip: bool = False  # True for the v2 preset
+
+
+def create_latent_diffusion_state(
+    rng: jax.Array, cfg: LatentDiffusionConfig
+) -> tuple[TrainState, ConditionalLatentDenoiser, DiffusionSchedule]:
+    model = ConditionalLatentDenoiser(
+        latent_dim=cfg.latent_dim,
+        hidden_dims=cfg.hidden_dims,
+        time_emb_dim=cfg.time_emb_dim,
+        num_classes=cfg.num_classes,
+        num_colors=cfg.num_colors,
+        dropout_rate=cfg.dropout_rate,
+        shared_cond_proj=cfg.shared_cond_proj,
+        global_skip=cfg.global_skip,
+    )
+    dummy_z = jnp.zeros((1, cfg.latent_dim), jnp.float32)
+    dummy_t = jnp.zeros((1,), jnp.int32)
+    dummy_c = jnp.zeros((1,), jnp.int32)
+    if cfg.num_colors is not None:
+        params = model.init(rng, dummy_z, dummy_t, dummy_c, dummy_c)["params"]
+    else:
+        params = model.init(rng, dummy_z, dummy_t, dummy_c)["params"]
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(
+            cosine_warm_restarts_schedule(
+                cfg.lr, cfg.steps_per_epoch, cfg.t0, cfg.t_mult
+            ),
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    sched = linear_schedule(cfg.n_steps, cfg.beta_start, cfg.beta_end)
+    return state, model, sched
+
+
+def make_latent_diffusion_step(
+    model: ConditionalLatentDenoiser,
+    vae: FlowerVAE,
+    sched: DiffusionSchedule,
+    cfg: LatentDiffusionConfig,
+):
+    """step(state, vae_params, images, labels[, colors], rng) -> (state, loss).
+
+    vae_params are an argument (not a closure constant) so the frozen encoder
+    weights live in HBM once and the step never recompiles when they change.
+    """
+
+    def step(state: TrainState, vae_params, images, labels, colors, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        enc_rng, loss_rng, drop_rng = jax.random.split(rng, 3)
+
+        # Frozen-VAE latent encode (v1:1257-1259) — no grads flow.
+        mu, logvar = vae.apply(
+            {"params": vae_params}, images, method=FlowerVAE.encode_with_params
+        )
+        z = FlowerVAE.reparameterize(enc_rng, mu, logvar)
+        z = jax.lax.stop_gradient(z)
+
+        def loss_fn(params):
+            def eps_fn(xt, t, *cond):
+                return model.apply(
+                    {"params": params}, xt, t, *cond,
+                    deterministic=False, rngs={"dropout": drop_rng},
+                )
+
+            cond = (labels,) if colors is None else (labels, colors)
+            return ddpm_eps_loss(
+                sched, eps_fn, loss_rng, z, *cond, distance="euclidean"
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return jax.jit(step, donate_argnums=(0,), static_argnames=())
+
+
+class LatentDiffusionTrainer:
+    def __init__(self, cfg: LatentDiffusionConfig, vae: FlowerVAE, rng: jax.Array):
+        self.cfg = cfg
+        self.state, self.model, self.sched = create_latent_diffusion_state(rng, cfg)
+        self.vae = vae
+        self._step = make_latent_diffusion_step(self.model, vae, self.sched, cfg)
+
+    def run_epoch(self, batches, vae_params, rng: jax.Array) -> float:
+        total, count = None, 0
+        for i, batch in enumerate(batches):
+            if self.cfg.num_colors is not None:
+                images, labels, colors = batch
+            else:
+                images, labels = batch
+                colors = None
+            self.state, loss = self._step(
+                self.state, vae_params, images, labels, colors,
+                jax.random.fold_in(rng, i),
+            )
+            total = loss if total is None else total + loss
+            count += 1
+        return float(total) / count
+
+    def eps_fn(self, params=None, deterministic: bool = True):
+        params = self.state.params if params is None else params
+
+        def fn(xt, t, *cond):
+            return self.model.apply({"params": params}, xt, t, *cond,
+                                    deterministic=deterministic)
+
+        return fn

@@ -1,0 +1,87 @@
+"""Pixel-space DDPM training (v4/v5 baseline).
+
+Parity target: train_diffusion (v4/model_train_test.py:239-253; v5:254-276
+adds every-10-epoch sample grids/animations): Adam(1e-4), MSE epsilon-loss,
+uniform random timesteps.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import optax
+import jax.numpy as jnp
+from flax.training.train_state import TrainState
+
+from flowerdiff.diffusion import DiffusionSchedule, ddpm_eps_loss, linear_schedule
+from flowerdiff.models.pixel_unet import PixelUNet
+
+
+@dataclasses.dataclass(frozen=True)
+class PixelDiffusionConfig:
+    lr: float = 1e-4
+    n_steps: int = 1000
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    img_size: int = 64
+    base_channels: int = 64
+    time_emb_dim: int = 128
+    learnable_residual: bool = False  # True for the v5 preset (v5:54,144)
+
+
+def create_pixel_diffusion_state(
+    rng: jax.Array, cfg: PixelDiffusionConfig
+) -> tuple[TrainState, PixelUNet, DiffusionSchedule]:
+    model = PixelUNet(
+        base_channels=cfg.base_channels,
+        time_emb_dim=cfg.time_emb_dim,
+        learnable_residual=cfg.learnable_residual,
+    )
+    dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    params = model.init(rng, dummy, jnp.zeros((1,), jnp.int32))["params"]
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.adam(cfg.lr)
+    )
+    sched = linear_schedule(cfg.n_steps, cfg.beta_start, cfg.beta_end)
+    return state, model, sched
+
+
+def make_pixel_diffusion_step(model: PixelUNet, sched: DiffusionSchedule):
+    def step(state: TrainState, images, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            def eps_fn(xt, t):
+                return model.apply({"params": params}, xt, t)
+
+            return ddpm_eps_loss(sched, eps_fn, rng, images, distance="mse")
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class PixelDiffusionTrainer:
+    def __init__(self, cfg: PixelDiffusionConfig, rng: jax.Array):
+        self.cfg = cfg
+        self.state, self.model, self.sched = create_pixel_diffusion_state(rng, cfg)
+        self._step = make_pixel_diffusion_step(self.model, self.sched)
+
+    def run_epoch(self, batches, rng: jax.Array) -> float:
+        total, count = None, 0
+        for i, (images, _labels) in enumerate(batches):
+            self.state, loss = self._step(
+                self.state, images, jax.random.fold_in(rng, i)
+            )
+            total = loss if total is None else total + loss
+            count += 1
+        return float(total) / count
+
+    def eps_fn(self, params=None):
+        params = self.state.params if params is None else params
+
+        def fn(xt, t):
+            return self.model.apply({"params": params}, xt, t)
+
+        return fn

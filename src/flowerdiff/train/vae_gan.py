@@ -1,0 +1,261 @@
+"""VAE-GAN training: one jitted step, two optimizers.
+
+Parity target: train_autoencoder (v1/model_train_test.py:1014-1193). The
+reference runs, per batch: G forward; D backward on (real, recon.detach());
+D optimizer step; G adversarial loss against the UPDATED discriminator; G
+backward on the weighted sum of euclidean-recon + VGG-perceptual + KL +
+cross-entropy + center + adversarial losses with host-float adaptive scales
+(v1:1107-1115); grad-clip 1.0; OneCycleLR step; EMA center update (epoch>=60).
+
+TPU-first redesign (SURVEY.md §7.1):
+  - The WHOLE sequence above is ONE jitted function: D grads use
+    stop_gradient on the reconstruction (the `.detach()`), the D params are
+    functionally updated, and the G loss then uses the new D params — same
+    ordering as the reference with zero host synchronization per step.
+  - The adaptive per-term scales are computed on device from
+    `lax.stop_gradient` ratios (v1:1107-1115 semantics, no `.item()` syncs).
+  - Epoch-staged gates arrive as a small float vector (train/schedules.py) —
+    data, not Python constants, so epochs never recompile.
+  - The EMA center update (v1:1132-1134) is a masked segment-sum update on
+    the same device pass.
+  - XLA CSEs the duplicated generator forward (same params, same rngs) that
+    the functional D-then-G ordering writes down.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training.train_state import TrainState
+
+from flowerdiff.losses import (
+    center_loss,
+    discriminator_loss,
+    euclidean_distance_loss,
+    generator_adv_loss,
+    kl_divergence,
+    update_centers,
+)
+from flowerdiff.models.vae import FlowerVAE
+from flowerdiff.models.discriminator import Discriminator64
+from flowerdiff.models.vgg import VGGPerceptual
+from flowerdiff.train.schedules import LossGates, onecycle_schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEGANConfig:
+    """Hyperparameters (reference defaults: v1:1014-1017, 1026-1037, 1315-1324)."""
+
+    lr: float = 1e-4
+    weight_decay: float = 1e-5
+    d_lr: float = 1e-4
+    d_betas: tuple = (0.5, 0.999)
+    lambda_recon: float = 1.0
+    lambda_cls: float = 0.3
+    lambda_center: float = 0.1
+    lambda_vgg: float = 0.4
+    lambda_gan: float = 0.2
+    kl_weight_start: float = 0.001
+    kl_weight_end: float = 0.05
+    grad_clip: float = 1.0
+    total_steps: int = 10_000  # OneCycle horizon = num_epochs * steps_per_epoch
+    use_perceptual: bool = True
+    num_classes: int = 102
+    latent_dim: int = 256
+
+
+class VAEGANState(struct.PyTreeNode):
+    gen: TrainState
+    disc: TrainState
+    centers: jax.Array  # (num_classes, latent_dim) EMA buffers (v1:322-323)
+
+    @property
+    def step(self):
+        return self.gen.step
+
+
+def create_vae_gan_state(
+    rng: jax.Array,
+    cfg: VAEGANConfig,
+    vae: Optional[FlowerVAE] = None,
+    disc: Optional[Discriminator64] = None,
+    img_size: int = 64,
+) -> tuple[VAEGANState, FlowerVAE, Discriminator64]:
+    vae = vae or FlowerVAE(latent_dim=cfg.latent_dim, num_classes=cfg.num_classes)
+    disc = disc or Discriminator64()
+    g_key, d_key, z_key = jax.random.split(rng, 3)
+    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    g_params = vae.init({"params": g_key}, dummy, z_key, method=FlowerVAE.init_all)[
+        "params"
+    ]
+    d_params = disc.init(d_key, dummy)["params"]
+
+    g_tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(
+            onecycle_schedule(cfg.lr, cfg.total_steps),
+            b1=0.9,
+            b2=0.999,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    d_tx = optax.adam(cfg.d_lr, b1=cfg.d_betas[0], b2=cfg.d_betas[1])
+
+    state = VAEGANState(
+        gen=TrainState.create(apply_fn=vae.apply, params=g_params, tx=g_tx),
+        disc=TrainState.create(apply_fn=disc.apply, params=d_params, tx=d_tx),
+        centers=jnp.zeros((cfg.num_classes, cfg.latent_dim), jnp.float32),
+    )
+    return state, vae, disc
+
+
+def make_vae_gan_step(
+    vae: FlowerVAE,
+    disc: Discriminator64,
+    cfg: VAEGANConfig,
+    vgg: Optional[VGGPerceptual] = None,
+):
+    """Build the jitted train step.
+
+    step(state, images, labels, gates, rng) -> (new_state, metrics)
+      gates: LossGates as a float32 vector of length 5.
+    """
+    use_vgg = cfg.use_perceptual and vgg is not None
+
+    def forward(g_params, images, reparam_rng, dropout_rng):
+        recon, mu, logvar, z = vae.apply(
+            {"params": g_params}, images, reparam_rng, False,
+            rngs={"dropout": dropout_rng},
+        )
+        return recon, mu, logvar, z
+
+    def step(state: VAEGANState, images, labels, gates, rng):
+        kl_weight, kl_factor, cls_factor, center_factor, do_update_centers = (
+            gates[0], gates[1], gates[2], gates[3], gates[4],
+        )
+        reparam_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        # ---- Discriminator update (v1:1097-1102): recon is detached. ----
+        recon_sg, *_ = forward(state.gen.params, images, reparam_rng, dropout_rng)
+        recon_sg = jax.lax.stop_gradient(recon_sg)
+
+        def d_loss_fn(d_params):
+            real_logits = disc.apply({"params": d_params}, images)
+            fake_logits = disc.apply({"params": d_params}, recon_sg)
+            return discriminator_loss(real_logits, fake_logits)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc.params)
+        new_disc = state.disc.apply_gradients(grads=d_grads)
+
+        # ---- Generator update against the UPDATED discriminator (v1:1105). ----
+        def g_loss_fn(g_params):
+            recon, mu, logvar, z = forward(g_params, images, reparam_rng, dropout_rng)
+            recon_loss = euclidean_distance_loss(recon, images)
+            if use_vgg:
+                perceptual = vgg(recon, images)
+            else:
+                perceptual = jnp.float32(0.0)
+            kl = kl_divergence(mu, logvar)
+            logits = vae.apply(
+                {"params": g_params}, z, False,
+                method=FlowerVAE.classify, rngs={"dropout": dropout_rng},
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+            center = center_loss(z, labels, state.centers)
+            fake_logits = disc.apply({"params": new_disc.params}, recon)
+            adv = generator_adv_loss(fake_logits)
+
+            # Adaptive scales (v1:1107-1115) on device, grad-stopped.
+            r = jax.lax.stop_gradient(recon_loss)
+            p = jax.lax.stop_gradient(perceptual)
+            k = jax.lax.stop_gradient(kl)
+            a = jax.lax.stop_gradient(adv)
+            big = r > 1e-8
+            perceptual_scale = jnp.where(big, jnp.minimum(1.0, r / (p + 1e-8)), 1.0)
+            kl_scale = jnp.where(big & (k > 0), jnp.minimum(1.0, r / (k + 1e-8)), 1.0)
+            gan_scale = jnp.where(big, jnp.minimum(1.0, r / (a + 1e-8)), 1.0)
+
+            total = (
+                cfg.lambda_recon * recon_loss
+                + cfg.lambda_vgg * perceptual_scale * perceptual
+                + kl_weight * kl_scale * kl_factor * kl
+                + cfg.lambda_cls * cls_factor * ce
+                + cfg.lambda_center * center_factor * center
+                + cfg.lambda_gan * gan_scale * adv
+            )
+            aux = {
+                "recon": recon_loss,
+                "perceptual": perceptual,
+                "kl": kl,
+                "class": ce,
+                "center": center,
+                "gan": adv,
+                "d_loss": d_loss,
+                "total": total,
+                "z": z,
+            }
+            return total, aux
+
+        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.gen.params
+        )
+        new_gen = state.gen.apply_gradients(grads=g_grads)
+
+        # ---- EMA center update (v1:1132-1134), gated by the epoch flag. ----
+        z_detached = jax.lax.stop_gradient(aux.pop("z"))
+        updated = update_centers(state.centers, z_detached, labels, momentum=0.9)
+        centers = jnp.where(do_update_centers > 0, updated, state.centers)
+
+        new_state = VAEGANState(gen=new_gen, disc=new_disc, centers=centers)
+        return new_state, aux
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def gates_array(g: LossGates) -> jnp.ndarray:
+    return jnp.asarray(g, jnp.float32)
+
+
+class VAEGANTrainer:
+    """Host-side orchestration: epochs, gates, metric accumulation, and the
+    train-if-missing / best-checkpoint policy (v1:1177-1191).
+
+    Metrics are accumulated on device and fetched ONCE per epoch (the
+    reference `.item()`s seven floats per step, v1:1137-1143).
+    """
+
+    def __init__(self, cfg: VAEGANConfig, rng: jax.Array,
+                 vgg: Optional[VGGPerceptual] = None, img_size: int = 64):
+        self.cfg = cfg
+        self.state, self.vae, self.disc = create_vae_gan_state(rng, cfg, img_size=img_size)
+        if cfg.use_perceptual and vgg is None:
+            vgg = VGGPerceptual()
+        self.vgg = vgg
+        self.step_fn = make_vae_gan_step(self.vae, self.disc, cfg, vgg)
+
+    def run_epoch(self, batches, epoch: int, num_epochs: int, rng: jax.Array):
+        """batches: iterable of (images, labels) device arrays. Returns the
+        epoch-mean metrics dict (host floats, one fetch)."""
+        from flowerdiff.train.schedules import vae_gan_loss_gates
+
+        gates = gates_array(
+            vae_gan_loss_gates(
+                epoch, num_epochs, self.cfg.kl_weight_start, self.cfg.kl_weight_end
+            )
+        )
+        totals: Optional[dict] = None
+        count = 0
+        for i, (images, labels) in enumerate(batches):
+            self.state, metrics = self.step_fn(
+                self.state, images, labels, gates, jax.random.fold_in(rng, i)
+            )
+            totals = metrics if totals is None else jax.tree.map(
+                jnp.add, totals, metrics
+            )
+            count += 1
+        means = jax.tree.map(lambda a: a / count, totals)
+        return {k: float(v) for k, v in jax.device_get(means).items()}
