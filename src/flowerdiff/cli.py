@@ -1,0 +1,85 @@
+"""Command-line interface.
+
+The reference's top README documents a CLI (`--total_epochs`,
+`--checkpoint_path`, README.md:55-64) that the scripts never implement (no
+argparse anywhere — SURVEY.md §5.6). This implements that documented surface
+for real, plus the version presets:
+
+    python main.py --version v1 --total_epochs 2000
+    python main.py --version v1 --checkpoint_path .../epoch_450
+    python main.py --version v4 --total_epochs 300
+    python main.py --version v1 --dataset synthetic --total_epochs 2 \
+        --vae_epochs 2 --batch_size 16        # offline smoke run
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Sequence
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="flowerdiff",
+        description="TPU-native VAE-GAN + latent-diffusion for Oxford 102 Flowers",
+    )
+    p.add_argument("--version", default="v1", choices=["v1", "v2", "v3", "v4", "v5"],
+                   help="reference-version preset (SURVEY.md §2.2)")
+    p.add_argument("--total_epochs", type=int, default=None,
+                   help="diffusion training horizon (v1 default 10000, v1:1432)")
+    p.add_argument("--checkpoint_path", default=None,
+                   help="resume checkpoint; '...epoch_N' stamps the start epoch "
+                        "(v1:1352-1363)")
+    p.add_argument("--vae_epochs", type=int, default=None,
+                   help="VAE-GAN training epochs (default 1200, v1:1318)")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--data_root", default="./data")
+    p.add_argument("--dataset", default="auto",
+                   choices=["auto", "flowers102", "synthetic"])
+    p.add_argument("--results_dir", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--synthetic_size", type=int, default=512)
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="data-parallel axis size (default: all devices)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="model-parallel axis size")
+    p.add_argument("--tiny", action="store_true",
+                   help="shrink all models for smoke runs / CI")
+    return p
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from flowerdiff.configs import get_preset, tiny_preset
+    from flowerdiff.parallel import create_mesh
+    from flowerdiff.runner import PipelineRunner
+
+    preset = get_preset(args.version)
+    if args.tiny:
+        preset = tiny_preset(preset)
+    mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)
+    runner = PipelineRunner(
+        preset,
+        results_dir=args.results_dir,
+        data_root=args.data_root,
+        dataset=args.dataset,
+        seed=args.seed,
+        mesh=mesh,
+        synthetic_size=args.synthetic_size,
+    )
+    if preset.pixel is not None:
+        runner.run_pixel(epochs=args.total_epochs, batch_size=args.batch_size)
+    else:
+        runner.run_latent(
+            total_epochs=(
+                args.total_epochs if args.total_epochs is not None
+                else preset.total_epochs
+            ),
+            vae_epochs=args.vae_epochs,
+            checkpoint_path=args.checkpoint_path,
+            batch_size=args.batch_size,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,11 +33,23 @@ class DiffusionSchedule:
 def linear_schedule(
     n_steps: int = 1000, beta_start: float = 1e-4, beta_end: float = 0.02
 ) -> DiffusionSchedule:
-    """Linear beta schedule (v1:569). torch.linspace evaluates
-    start + i * (end - start) / (steps - 1) in float32; jnp.linspace matches
-    that recurrence for these endpoints.
+    """Linear beta schedule (v1:569): start + i * (end - start) / (n - 1).
+
+    The table is built correctly-rounded: the affine form is evaluated in
+    float64 on host (it is a compile-time constant) and rounded once to
+    float32 — max error 0.5 ULP. torch.linspace's vectorized float32 kernel
+    carries up to ~1.2 ULP error against the exact value, so torch parity
+    holds to 1 ULP (asserted by the golden test); alpha_bar is computed in
+    float64 before the final cast for the same reason.
     """
-    beta = jnp.linspace(beta_start, beta_end, n_steps, dtype=jnp.float32)
-    alpha = 1.0 - beta
-    alpha_bar = jnp.cumprod(alpha)
-    return DiffusionSchedule(beta=beta, alpha=alpha, alpha_bar=alpha_bar)
+    import numpy as np
+
+    i = np.arange(n_steps, dtype=np.float64)
+    beta64 = beta_start + i * (beta_end - beta_start) / (n_steps - 1)
+    alpha64 = 1.0 - beta64
+    alpha_bar64 = np.cumprod(alpha64)
+    return DiffusionSchedule(
+        beta=jnp.asarray(beta64, jnp.float32),
+        alpha=jnp.asarray(alpha64, jnp.float32),
+        alpha_bar=jnp.asarray(alpha_bar64, jnp.float32),
+    )

@@ -1,0 +1,370 @@
+"""End-to-end pipeline orchestration (reference layer L8, SURVEY.md §1).
+
+Parity target: main() (v1:1290-1433, v3:1593-1741, v4:258-291) — device/mesh
+setup, dataset build, train-if-missing for the VAE then the diffusion model,
+epoch-stamped resume, loss-curve PNGs, and the final visualization sweep
+(sample grid + denoising paths + GIFs for the first 10 classes).
+
+Differences by design:
+  - checkpoints are Orbax with step metadata (directory per model) instead of
+    filename-parsed .pt files; `--checkpoint_path` with `...epoch_N` is still
+    honored for reference-style resume (train/checkpoints.py).
+  - all sampling/visualization device work is batched (viz/*).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowerdiff.configs import VersionPreset
+from flowerdiff.data import DeviceDataset, synthetic_flowers
+from flowerdiff.data.flowers102 import class_names as flowers_class_names
+from flowerdiff.data.flowers102 import load_flowers102
+from flowerdiff.models.vae import FlowerVAE
+from flowerdiff.train.checkpoints import CheckpointManager, parse_epoch_from_filename
+from flowerdiff.train.latent_ddpm import LatentDiffusionTrainer
+from flowerdiff.train.metrics import LossHistory
+from flowerdiff.train.pixel_ddpm import PixelDiffusionTrainer
+from flowerdiff.train.vae_gan import VAEGANTrainer
+from flowerdiff.utils.image import psnr
+from flowerdiff import viz
+from flowerdiff.viz.grids import generate_pixel_samples_grid
+from flowerdiff.viz.animation import create_pixel_diffusion_animation
+
+
+class PipelineRunner:
+    def __init__(
+        self,
+        preset: VersionPreset,
+        results_dir: Optional[str] = None,
+        data_root: str = "./data",
+        dataset: str = "auto",  # auto | flowers102 | synthetic
+        seed: int = 42,
+        mesh=None,
+        synthetic_size: int = 512,
+    ):
+        self.preset = preset
+        self.seed = seed
+        self.mesh = mesh
+        is_pixel = preset.pixel is not None
+        self.results_dir = results_dir or (
+            "./oxford_flowers_image_diffusion" if is_pixel
+            else "./oxford_flowers_conditional_improved"  # v1:1295
+        )
+        os.makedirs(self.results_dir, exist_ok=True)
+        self.class_names = flowers_class_names()
+
+        images, labels = self._load_data(data_root, dataset, synthetic_size)
+        colors = None
+        if preset.latent is not None and preset.latent.num_colors is not None:
+            from flowerdiff.data.color_labels import extract_color_labels_cached
+
+            colors, _names = extract_color_labels_cached(
+                images, cache_path=os.path.join(self.results_dir, "color_labels.npz")
+            )
+        augment = not is_pixel or True  # v4 also flips; rotation only in v1-v3
+        self.train_ds = DeviceDataset(
+            images, labels, colors=colors, mesh=mesh,
+            augment=True,
+            max_rotation_deg=0.0 if is_pixel else 10.0,  # v4:17-21 has no rotation
+            jitter=0.0 if is_pixel else 0.2,
+        )
+        # The reference visualizes from the TEST split (v1:663,796); without
+        # the real dataset the train images stand in.
+        self.test_images, self.test_labels = self.train_ds.full()[:2]
+
+    def _load_data(self, data_root, dataset, synthetic_size):
+        if dataset in ("auto", "flowers102"):
+            try:
+                return load_flowers102(data_root, "train", self.preset.img_size)
+            except FileNotFoundError:
+                if dataset == "flowers102":
+                    raise
+                print("Flowers102 not found — using the synthetic dataset.")
+        return synthetic_flowers(
+            synthetic_size, 102, self.preset.img_size, seed=self.seed
+        )
+
+    # ------------------------------------------------------------------ #
+    # Latent pipeline (v1/v2/v3)
+    # ------------------------------------------------------------------ #
+
+    def run_latent(
+        self,
+        total_epochs: int,
+        vae_epochs: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+        batch_size: Optional[int] = None,
+    ):
+        preset = self.preset
+        assert preset.vae is not None and preset.latent is not None
+        batch_size = batch_size or preset.batch_size
+        steps_per_epoch = max(1, self.train_ds.n // batch_size)
+        vae_epochs = vae_epochs if vae_epochs is not None else preset.vae_epochs
+
+        rng = jax.random.key(self.seed)
+        vae_rng, diff_rng = jax.random.split(rng)
+
+        # ---- VAE-GAN: train-if-missing (v1:1304-1326). ----
+        import dataclasses
+
+        vae_cfg = dataclasses.replace(
+            preset.vae, total_steps=max(1, vae_epochs * steps_per_epoch)
+        )
+        trainer = VAEGANTrainer(vae_cfg, vae_rng, img_size=preset.img_size)
+        vae_ckpt = CheckpointManager(os.path.join(self.results_dir, "ckpt_vae"))
+        history = LossHistory()
+        if vae_ckpt.exists():
+            print(f"Loading existing autoencoder from {vae_ckpt.directory}")
+            restored = vae_ckpt.restore(like={"params": trainer.state.gen.params,
+                                              "centers": trainer.state.centers})
+            trainer.state = trainer.state.replace(
+                gen=trainer.state.gen.replace(params=restored["params"]),
+                centers=restored["centers"],
+            )
+        else:
+            print("No existing autoencoder found. Training a new one...")
+            best = float("inf")
+            ep_rng = np.random.default_rng(self.seed)
+            for epoch in range(vae_epochs):
+                batches = self.train_ds.batches(ep_rng, batch_size)
+                if self.preset.latent.num_colors is not None:
+                    batches = ((img, lab) for img, lab, _col in batches)
+                metrics = trainer.run_epoch(
+                    batches, epoch, vae_epochs, jax.random.fold_in(vae_rng, epoch)
+                )
+                history.append(metrics)
+                print(
+                    f"Epoch {epoch + 1}/{vae_epochs}, "
+                    + ", ".join(f"{k}: {v:.6f}" for k, v in sorted(metrics.items()))
+                )
+                if metrics["total"] < best:  # best-ckpt policy (v1:1177-1182)
+                    best = metrics["total"]
+                    vae_ckpt.save(epoch, {"params": trainer.state.gen.params,
+                                          "centers": trainer.state.centers})
+                if (epoch + 1) % preset.vae_visualize_every == 0 or epoch == vae_epochs - 1:
+                    self._vae_viz(trainer, epoch + 1)
+            vae_ckpt.save(vae_epochs, {"params": trainer.state.gen.params,
+                                       "centers": trainer.state.centers})
+            history.save_jsonl(os.path.join(self.results_dir, "vae_history.jsonl"))
+            viz.plot_loss_curves(
+                history.history,
+                os.path.join(self.results_dir, "autoencoder_losses.png"),
+            )
+
+        vae, vae_params = trainer.vae, trainer.state.gen.params
+        decode_fn, encode_mu_fn, encode_decode_fn = self._vae_fns(vae, vae_params)
+        print(f"VAE recon PSNR: {self._recon_psnr(encode_decode_fn):.2f} dB")
+
+        # ---- Latent diffusion: resume + train (v1:1340-1405). ----
+        lat_cfg = dataclasses.replace(preset.latent, steps_per_epoch=steps_per_epoch)
+        diff = LatentDiffusionTrainer(lat_cfg, vae, diff_rng)
+        diff_ckpt = CheckpointManager(os.path.join(self.results_dir, "ckpt_diffusion"))
+        start_epoch = 0
+        if checkpoint_path:
+            epoch = parse_epoch_from_filename(checkpoint_path)
+            if epoch is not None and diff_ckpt.exists():
+                start_epoch = epoch
+                restored = diff_ckpt.restore(epoch, like={"params": diff.state.params})
+                diff.state = diff.state.replace(params=restored["params"])
+                print(f"Continuing training from epoch {start_epoch}")
+        elif diff_ckpt.exists():
+            start_epoch = diff_ckpt.latest_step()
+            restored = diff_ckpt.restore(like={"params": diff.state.params})
+            diff.state = diff.state.replace(params=restored["params"])
+            print(f"Loaded diffusion model at epoch {start_epoch}")
+
+        diff_losses = []
+        ep_rng = np.random.default_rng(self.seed + 1)
+        for epoch in range(start_epoch, total_epochs):
+            batches = self.train_ds.batches(ep_rng, batch_size)
+            loss = diff.run_epoch(batches, vae_params, jax.random.fold_in(diff_rng, epoch))
+            diff_losses.append(loss)
+            print(f"Epoch {epoch + 1}/{total_epochs}, Average Loss: {loss:.6f}")
+            if (epoch + 1) % preset.diffusion_visualize_every == 0 or epoch == total_epochs - 1:
+                self._diffusion_viz(diff, decode_fn, encode_mu_fn, epoch + 1)
+                diff_ckpt.save(epoch + 1, {"params": diff.state.params})
+        if diff_losses:
+            diff_ckpt.save(max(total_epochs, start_epoch), {"params": diff.state.params})
+            viz.plot_single_loss_curve(
+                diff_losses,
+                os.path.join(
+                    self.results_dir,
+                    "diffusion_loss_continued.png" if start_epoch else "diffusion_loss.png",
+                ),
+                start_epoch=start_epoch or None,
+            )
+
+        # ---- Final sweep (v1:1406-1429). ----
+        self._final_sweep(diff, decode_fn, encode_mu_fn)
+        return trainer, diff
+
+    # ------------------------------------------------------------------ #
+    # Pixel pipeline (v4/v5)
+    # ------------------------------------------------------------------ #
+
+    def run_pixel(self, epochs: Optional[int] = None, batch_size: Optional[int] = None):
+        preset = self.preset
+        assert preset.pixel is not None
+        epochs = epochs if epochs is not None else preset.pixel_epochs
+        batch_size = batch_size or preset.batch_size
+        trainer = PixelDiffusionTrainer(preset.pixel, jax.random.key(self.seed))
+        ckpt = CheckpointManager(os.path.join(self.results_dir, "ckpt_pixel"))
+        if ckpt.exists():
+            restored = ckpt.restore(like={"params": trainer.state.params})
+            trainer.state = trainer.state.replace(params=restored["params"])
+            print(f"Loaded pixel diffusion at epoch {ckpt.latest_step()}")
+        else:
+            ep_rng = np.random.default_rng(self.seed)
+            rng = jax.random.key(self.seed + 2)
+            for epoch in range(epochs):
+                loss = trainer.run_epoch(
+                    self.train_ds.batches(ep_rng, batch_size),
+                    jax.random.fold_in(rng, epoch),
+                )
+                print(f"Diffusion Epoch {epoch + 1}/{epochs}, Loss: {loss:.4f}")
+                if (
+                    preset.pixel_visualize_every
+                    and (epoch + 1) % preset.pixel_visualize_every == 0
+                ):  # v5:268-273
+                    generate_pixel_samples_grid(
+                        trainer.eps_fn(), trainer.sched, preset.img_size,
+                        save_path=os.path.join(
+                            self.results_dir, f"samples_grid_epoch_{epoch}.png"
+                        ),
+                    )
+                    create_pixel_diffusion_animation(
+                        trainer.eps_fn(), trainer.sched, preset.img_size,
+                        save_path=os.path.join(
+                            self.results_dir, f"diffusion_animation_epoch_{epoch}.gif"
+                        ),
+                    )
+            ckpt.save(epochs, {"params": trainer.state.params})
+
+        # Final artifacts (v4:272-286).
+        generate_pixel_samples_grid(
+            trainer.eps_fn(), trainer.sched, preset.img_size,
+            save_path=os.path.join(self.results_dir, "samples_grid.png"),
+        )
+        create_pixel_diffusion_animation(
+            trainer.eps_fn(), trainer.sched, preset.img_size,
+            save_path=os.path.join(self.results_dir, "diffusion_animation.gif"),
+        )
+        return trainer
+
+    # ------------------------------------------------------------------ #
+    # Helpers
+    # ------------------------------------------------------------------ #
+
+    def _vae_fns(self, vae: FlowerVAE, params):
+        decode_fn = jax.jit(
+            lambda z: vae.apply({"params": params}, z, method=FlowerVAE.decode)
+        )
+
+        @jax.jit
+        def encode_mu_fn(x):
+            mu, _ = vae.apply(
+                {"params": params}, x, method=FlowerVAE.encode_with_params
+            )
+            return mu
+
+        @jax.jit
+        def encode_decode_fn(x, rng):
+            mu, logvar = vae.apply(
+                {"params": params}, x, method=FlowerVAE.encode_with_params
+            )
+            z = FlowerVAE.reparameterize(rng, mu, logvar)
+            return vae.apply({"params": params}, z, method=FlowerVAE.decode)
+
+        return decode_fn, encode_mu_fn, encode_decode_fn
+
+    def _recon_psnr(self, encode_decode_fn, n: int = 64) -> float:
+        imgs = self.test_images[:n]
+        recon = encode_decode_fn(imgs, jax.random.key(0))
+        return float(psnr(imgs, recon))
+
+    def _vae_viz(self, trainer: VAEGANTrainer, epoch: int):
+        _, encode_mu_fn, encode_decode_fn = self._vae_fns(
+            trainer.vae, trainer.state.gen.params
+        )
+        viz.visualize_reconstructions(
+            encode_decode_fn, self.test_images, np.asarray(self.test_labels),
+            epoch, self.class_names, self.results_dir,
+        )
+        viz.visualize_latent_space(
+            encode_mu_fn, self.test_images, np.asarray(self.test_labels),
+            epoch, self.class_names, self.results_dir, max_points=2000,
+        )
+
+    def _epoch_eps_fn(self, diff: LatentDiffusionTrainer):
+        if self.preset.latent.num_colors is not None:
+            base = diff.eps_fn()
+            default_color = jnp.zeros((), jnp.int32)
+
+            def eps_fn(x, t, c, color=None):
+                if color is None:
+                    color = jnp.zeros_like(c)
+                return base(x, t, c, color)
+
+            return eps_fn
+        return diff.eps_fn()
+
+    def _diffusion_viz(self, diff, decode_fn, encode_mu_fn, epoch: int):
+        """Per-cadence artifacts for the first 2 classes (v1:1273-1281)."""
+        eps_fn = self._epoch_eps_fn(diff)
+        for class_idx in range(min(len(self.class_names), 2)):
+            name = self.class_names[class_idx]
+            viz.create_diffusion_animation(
+                eps_fn, decode_fn, diff.sched, class_idx, self.class_names,
+                latent_dim=self.preset.latent.latent_dim,
+                save_path=os.path.join(
+                    self.results_dir,
+                    f"diffusion_animation_class_{name}_epoch_{epoch}.gif",
+                ),
+            )
+            viz.generate_class_samples(
+                eps_fn, decode_fn, diff.sched, class_idx, self.class_names,
+                latent_dim=self.preset.latent.latent_dim,
+                save_path=os.path.join(
+                    self.results_dir, f"sample_class_{name}_epoch_{epoch}.png"
+                ),
+            )
+            viz.visualize_denoising_steps(
+                encode_mu_fn, decode_fn, eps_fn, diff.sched,
+                self.test_images, np.asarray(self.test_labels),
+                class_idx, self.class_names,
+                latent_dim=self.preset.latent.latent_dim,
+                save_path=os.path.join(
+                    self.results_dir, f"denoising_path_{name}_epoch_{epoch}.png"
+                ),
+            )
+
+    def _final_sweep(self, diff, decode_fn, encode_mu_fn):
+        """Sample grid + 10 denoising paths + 10 GIFs (v1:1406-1429)."""
+        eps_fn = self._epoch_eps_fn(diff)
+        viz.generate_samples_grid(
+            eps_fn, decode_fn, diff.sched, self.class_names,
+            latent_dim=self.preset.latent.latent_dim, save_dir=self.results_dir,
+        )
+        for class_idx in range(min(len(self.class_names), 10)):
+            name = self.class_names[class_idx]
+            viz.visualize_denoising_steps(
+                encode_mu_fn, decode_fn, eps_fn, diff.sched,
+                self.test_images, np.asarray(self.test_labels),
+                class_idx, self.class_names,
+                latent_dim=self.preset.latent.latent_dim,
+                save_path=os.path.join(
+                    self.results_dir, f"denoising_path_{name}_final.png"
+                ),
+            )
+            viz.create_diffusion_animation(
+                eps_fn, decode_fn, diff.sched, class_idx, self.class_names,
+                latent_dim=self.preset.latent.latent_dim, fps=15,
+                save_path=os.path.join(
+                    self.results_dir, f"diffusion_animation_{name}_final.gif"
+                ),
+            )

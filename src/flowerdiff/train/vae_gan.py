@@ -66,6 +66,8 @@ class VAEGANConfig:
     use_perceptual: bool = True
     num_classes: int = 102
     latent_dim: int = 256
+    channels: tuple = (64, 128, 256, 512)  # encoder/decoder widths (v1:185-208)
+    head_width: int = 512
 
 
 class VAEGANState(struct.PyTreeNode):
@@ -85,7 +87,10 @@ def create_vae_gan_state(
     disc: Optional[Discriminator64] = None,
     img_size: int = 64,
 ) -> tuple[VAEGANState, FlowerVAE, Discriminator64]:
-    vae = vae or FlowerVAE(latent_dim=cfg.latent_dim, num_classes=cfg.num_classes)
+    vae = vae or FlowerVAE(
+        latent_dim=cfg.latent_dim, num_classes=cfg.num_classes,
+        channels=tuple(cfg.channels), head_width=cfg.head_width,
+    )
     disc = disc or Discriminator64()
     g_key, d_key, z_key = jax.random.split(rng, 3)
     dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)

@@ -1,0 +1,152 @@
+"""Diffusion GIF animations.
+
+Parity target: create_diffusion_animation (v1:884-960; v4:225-234): fully
+denoise one latent (seeded), then re-noise the clean latent to each t of a
+forward+backward ping-pong timestep list via q_sample with one FIXED noise
+draw (v1:930-934), decode each frame, title with % noise, GIF via imageio.
+
+TPU-first: the reference re-noises and decodes frame-by-frame with a
+matplotlib round-trip per frame through temp PNG files. Here:
+  - the clean latent comes from one jitted scan;
+  - ALL frames' re-noised latents are one vectorized q_sample (each frame is
+    an independent elementwise mix of the same clean latent and the same
+    fixed eps);
+  - all frames decode in ONE batched decoder call;
+  - frames render straight into in-memory RGB buffers -> imageio (no temp
+    files to clean up, v1:943-958).
+
+The pixel-space variant (v4:225-234) instead captures intermediates of one
+sampling run: that is `sample_with_trajectory` + host frame gather.
+"""
+from __future__ import annotations
+
+import io
+import os
+from typing import Optional, Sequence
+
+import imageio
+import jax
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+import numpy as np
+
+from flowerdiff.diffusion import (
+    DiffusionSchedule,
+    q_sample,
+    sample,
+    sample_with_trajectory,
+)
+
+
+def _pingpong_timesteps(n_steps: int, num_frames: int) -> list[int]:
+    """Forward list 0..n-1 strided, then backward over the interior
+    (v1:906-918, reverse=False default)."""
+    if num_frames >= n_steps:
+        timesteps = list(range(n_steps))
+    else:
+        step_size = n_steps // num_frames
+        timesteps = list(range(0, n_steps, step_size))
+        if timesteps[-1] != n_steps - 1:
+            timesteps.append(n_steps - 1)
+    timesteps = sorted(timesteps)
+    return timesteps + sorted(timesteps[1:-1], reverse=True)
+
+
+def _render_frame(img: np.ndarray, title: str) -> np.ndarray:
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.imshow(np.clip(img, 0, 1))
+    ax.axis("off")
+    ax.set_title(title)
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", bbox_inches="tight")
+    plt.close(fig)
+    buf.seek(0)
+    return imageio.imread(buf)
+
+
+def create_diffusion_animation(
+    eps_fn,
+    decode_fn,
+    sched: DiffusionSchedule,
+    class_idx,
+    class_names: Sequence[str],
+    latent_dim: int = 256,
+    num_frames: int = 50,
+    seed: int = 42,
+    save_path: Optional[str] = None,
+    fps: int = 10,
+    reverse: bool = False,
+    extra_cond: Optional[jax.Array] = None,
+) -> str:
+    if isinstance(class_idx, str):
+        class_idx = list(class_names).index(class_idx)
+    if save_path is None:
+        os.makedirs("./results", exist_ok=True)
+        save_path = f"./results/diffusion_animation_{class_names[class_idx]}.gif"
+
+    key = jax.random.key(seed)
+    sample_key, noise_key = jax.random.split(key)
+    classes = jnp.array([class_idx], jnp.int32)
+    cond = (classes,) if extra_cond is None else (classes, extra_cond)
+
+    # 1. One scan to a clean latent (v1:922-926).
+    clean = sample(sched, eps_fn, sample_key, (1, latent_dim), *cond)
+
+    # 2. All frames re-noised in ONE vectorized q_sample with a single fixed
+    #    eps (v1:930-934 reseeds to get the same eps every frame).
+    timesteps = _pingpong_timesteps(sched.n_steps, num_frames)
+    if reverse:
+        timesteps = sorted(set(timesteps), reverse=True)
+    ts = jnp.asarray(timesteps, jnp.int32)
+    eps = jax.random.normal(noise_key, (1, latent_dim))
+    frames_latent = q_sample(
+        sched,
+        jnp.broadcast_to(clean, (len(timesteps), latent_dim)),
+        ts,
+        jnp.broadcast_to(eps, (len(timesteps), latent_dim)),
+    )
+    # t == 0 frames show the clean latent itself (v1:930 gates on t > 0).
+    frames_latent = jnp.where((ts > 0)[:, None], frames_latent,
+                              jnp.broadcast_to(clean, frames_latent.shape))
+
+    # 3. One batched decode for every frame.
+    decoded = np.asarray(decode_fn(frames_latent))
+
+    # 4. Host-side GIF assembly (in-memory, no temp files).
+    frames = [
+        _render_frame(
+            decoded[i],
+            f"Class: {class_names[class_idx]} "
+            f"(t={t}, {t / sched.n_steps * 100:.1f}% noise)",
+        )
+        for i, t in enumerate(timesteps)
+    ]
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    imageio.mimsave(save_path, frames, fps=fps, loop=0)
+    return save_path
+
+
+def create_pixel_diffusion_animation(
+    eps_fn,
+    sched: DiffusionSchedule,
+    img_size: int = 64,
+    num_frames: int = 50,
+    save_path: str = "diffusion_animation.gif",
+    fps: int = 10,
+    rng: Optional[jax.Array] = None,
+) -> str:
+    """Pixel-space animation from one trajectory capture (v4:225-234)."""
+    rng = jax.random.key(0) if rng is None else rng
+    _, traj = sample_with_trajectory(
+        sched, eps_fn, rng, (1, img_size, img_size, 3)
+    )
+    step_interval = max(1, sched.n_steps // num_frames)
+    capture = sorted(set(range(0, sched.n_steps, step_interval)) | {0})
+    # trajectory index i holds the state after the step at t = n_steps-1-i.
+    frames = [
+        np.uint8(255 * np.clip(np.asarray(traj[sched.n_steps - 1 - t][0]), 0, 1))
+        for t in sorted(capture, reverse=True)
+    ]
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    imageio.mimsave(save_path, frames, fps=fps, loop=0)
+    return save_path

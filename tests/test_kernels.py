@@ -1,0 +1,74 @@
+"""Pallas kernel numerics: the fused sampling path must match the reference
+flax forward to bf16 precision (interpret mode on CPU; compiled on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowerdiff.kernels import make_fast_denoiser
+from flowerdiff.kernels.latent_stage import fused_stage
+from flowerdiff.models import ConditionalLatentDenoiser
+
+
+def test_fused_stage_matches_composed_ops():
+    rng = np.random.default_rng(0)
+    b, d, d_out = 8, 128, 128
+
+    def mk(*shape):
+        return jnp.asarray(rng.normal(size=shape, scale=0.05), jnp.float32)
+
+    h, tc = mk(b, d), mk(b, d)
+    wb, bb = mk(d, d), mk(d)
+    g1, b1, g2, b2 = jnp.ones(d), jnp.zeros(d), jnp.ones(d), jnp.zeros(d)
+    wv, bv, wo, bo = mk(d, d), mk(d), mk(d, d), mk(d)
+    wd, bd = mk(d, d_out), mk(d_out)
+
+    def ln(x):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / jnp.sqrt(var + 1e-5)
+
+    href = h + tc
+    u = ln(href @ wb + bb)
+    u = u * jax.nn.sigmoid(u)
+    href = href + u
+    hn = ln(href)
+    href = href + (hn @ wv + bv) @ wo + bo
+    expected = href @ wd + bd
+
+    got = fused_stage(
+        h, tc, wb.astype(jnp.bfloat16), bb, g1, b1, g2, b2,
+        wv.astype(jnp.bfloat16), bv, wo.astype(jnp.bfloat16), bo,
+        wd.astype(jnp.bfloat16), bd, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-2, atol=2e-2
+    )
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
+def test_fast_denoiser_matches_flax(variant):
+    kw = dict(latent_dim=128, hidden_dims=(128, 256, 128), time_emb_dim=128,
+              num_classes=11)
+    if variant == "v2":
+        kw["global_skip"] = True
+    if variant == "v3":
+        kw["shared_cond_proj"] = False
+        kw["num_colors"] = 4
+    model = ConditionalLatentDenoiser(**kw)
+
+    x = jax.random.normal(jax.random.key(0), (8, 128))
+    t = jnp.array([0, 10, 100, 500, 999, 1, 2, 3])
+    c = jnp.arange(8) % 11
+    color = jnp.arange(8) % 4
+    args = (x, t, c, color) if variant == "v3" else (x, t, c)
+    params = model.init(jax.random.key(1), *args)
+
+    expected = model.apply(params, *args)
+    fast = make_fast_denoiser(model, params, interpret=True)
+    got = fast(*args)
+
+    scale = float(jnp.abs(expected).max())
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=3e-2 * scale,
+    )
