@@ -9,6 +9,7 @@ from flowerdiff.core.layers import (
     CALayer,
     SpatialAttention,
     ResidualBlock,
+    ConditionedResidualBlock,
 )
 from flowerdiff.core.embeddings import (
     sinusoidal_time_embedding,
@@ -16,7 +17,7 @@ from flowerdiff.core.embeddings import (
     ClassEmbedding,
     MultiConditionEmbedding,
 )
-from flowerdiff.core.attention import MultiHeadSelfAttention
+from flowerdiff.core.attention import MultiHeadSelfAttention, SpatialSelfAttention2D
 
 __all__ = [
     "swish",
@@ -25,6 +26,8 @@ __all__ = [
     "CALayer",
     "SpatialAttention",
     "ResidualBlock",
+    "ConditionedResidualBlock",
+    "SpatialSelfAttention2D",
     "sinusoidal_time_embedding",
     "TimeEmbedding",
     "ClassEmbedding",

@@ -19,6 +19,47 @@ from flax import linen as nn
 from flowerdiff.core.layers import kaiming_init
 
 
+class SpatialSelfAttention2D(nn.Module):
+    """2-D feature-map self-attention over H*W positions.
+
+    Parity target: UNetAttentionBlock (v1/model_train_test.py:434-459) —
+    GroupNorm(1) -> packed qkv 1x1 conv -> multi-head scaled-dot attention
+    over the spatial positions -> 1x1 out conv -> +residual. Dead code in
+    the reference (SURVEY.md §2.1) but the building block any pixel-UNet
+    upgrade needs; NHWC, 1x1 convs as channel matmuls.
+
+    This is also the module behind the framework's sequence-parallel seam
+    (SURVEY.md §5.7): at higher resolutions the H*W axis can be sharded over
+    a mesh axis; the einsum contractions then ride XLA collectives.
+    """
+
+    channels: int
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        assert c == self.channels and c % self.num_heads == 0
+        residual = x
+        y = nn.GroupNorm(num_groups=1, name="norm")(x)
+        qkv = nn.Dense(3 * c, kernel_init=kaiming_init, name="qkv")(
+            y.reshape(b, h * w, c)
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = c // self.num_heads
+
+        def heads(t):
+            return t.reshape(b, h * w, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jnp.einsum("bhsd,bhtd->bhst", q, k) * hd**-0.5
+        weights = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhst,bhtd->bhsd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        out = nn.Dense(c, kernel_init=kaiming_init, name="proj")(out)
+        return out.reshape(b, h, w, c) + residual
+
+
 class MultiHeadSelfAttention(nn.Module):
     """Self-attention over (B, S, D) with `num_heads` heads.
 

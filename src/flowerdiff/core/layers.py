@@ -100,6 +100,46 @@ class SpatialAttention(nn.Module):
         return x * jax.nn.sigmoid(attn)
 
 
+class ConditionedResidualBlock(nn.Module):
+    """2-D residual block with time/class FiLM-style shift conditioning.
+
+    Parity target: UNetResidualBlock (v1/model_train_test.py:462-486) — dead
+    code in the reference (SURVEY.md §2.1), kept as the conditioned conv
+    block a full pixel-space conditional UNet needs: LN2d -> swish -> conv ->
+    (+time shift) (+class shift) -> LN2d -> swish -> dropout -> conv ->
+    +residual (1x1-projected when channel counts differ).
+    """
+
+    in_channels: int
+    out_channels: int
+    cond_dim: int = 256
+    dropout_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, t_emb=None, c_emb=None, *, deterministic=True):
+        h = LayerNorm2d(self.in_channels, name="ln1")(x)
+        h = swish(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    kernel_init=kaiming_init, name="conv1")(h)
+        if t_emb is not None:
+            shift = swish(nn.Dense(self.out_channels, kernel_init=kaiming_init,
+                                   name="time_emb")(t_emb))
+            h = h + shift[:, None, None, :]
+        if c_emb is not None:
+            shift = swish(nn.Dense(self.out_channels, kernel_init=kaiming_init,
+                                   name="class_emb")(c_emb))
+            h = h + shift[:, None, None, :]
+        h = LayerNorm2d(self.out_channels, name="ln2")(h)
+        h = swish(h)
+        h = nn.Dropout(self.dropout_rate, name="drop")(h, deterministic=deterministic)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    kernel_init=kaiming_init, name="conv2")(h)
+        if self.in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), kernel_init=kaiming_init,
+                        name="residual_proj")(x)
+        return h + x
+
+
 class ResidualBlock(nn.Module):
     """conv3x3 -> LN2d -> swish -> conv3x3 -> LN2d -> CA -> SA -> +res -> swish.
 

@@ -77,19 +77,20 @@ def load_flowers102(
             )
 
     import scipy.io
-    from PIL import Image
 
     labels_all = scipy.io.loadmat(labels_mat)["labels"].ravel().astype(np.int64) - 1
     ids = scipy.io.loadmat(setid_mat)[FLOWERS102_SPLITS[split]].ravel().astype(np.int64)
+    paths = [os.path.join(jpg_dir, f"image_{image_id:05d}.jpg") for image_id in ids]
+    labels = labels_all[ids - 1].astype(np.int32)
 
-    images = np.empty((len(ids), img_size, img_size, 3), np.uint8)
-    labels = np.empty((len(ids),), np.int32)
-    for i, image_id in enumerate(ids):
-        path = os.path.join(jpg_dir, f"image_{image_id:05d}.jpg")
-        with Image.open(path) as img:
-            img = img.convert("RGB").resize((img_size, img_size), Image.BICUBIC)
-            images[i] = np.asarray(img, np.uint8)
-        labels[i] = labels_all[image_id - 1]
+    # One-time ingest: the native multithreaded libjpeg decoder when built
+    # (tools/build_native.py), PIL otherwise — identical output layout.
+    from flowerdiff.native import decode_jpeg_batch
+
+    images, ok = decode_jpeg_batch(paths, img_size)
+    if not ok.all():
+        bad = [paths[i] for i in np.nonzero(~ok)[0][:3]]
+        raise IOError(f"failed to decode {int((~ok).sum())} images, e.g. {bad}")
 
     if cache:
         os.makedirs(base, exist_ok=True)

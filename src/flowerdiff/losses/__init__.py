@@ -7,13 +7,18 @@ gan:        BCE real/fake + generator adversarial terms (v1:1029, 1097-1105)
 """
 from flowerdiff.losses.distances import euclidean_distance_loss
 from flowerdiff.losses.kl import kl_divergence
-from flowerdiff.losses.center import center_loss, update_centers
+from flowerdiff.losses.center import (
+    center_loss,
+    standalone_center_loss,
+    update_centers,
+)
 from flowerdiff.losses.gan import bce_loss, discriminator_loss, generator_adv_loss
 
 __all__ = [
     "euclidean_distance_loss",
     "kl_divergence",
     "center_loss",
+    "standalone_center_loss",
     "update_centers",
     "bce_loss",
     "discriminator_loss",

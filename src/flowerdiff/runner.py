@@ -62,11 +62,18 @@ class PipelineRunner:
         colors = None
         if preset.latent is not None and preset.latent.num_colors is not None:
             from flowerdiff.data.color_labels import extract_color_labels_cached
+            from flowerdiff.viz.color_viz import create_flower_color_visualization
 
             colors, _names = extract_color_labels_cached(
                 images, cache_path=os.path.join(self.results_dir, "color_labels.npz")
             )
-        augment = not is_pixel or True  # v4 also flips; rotation only in v1-v3
+            # v3:1603-1605: label-inspection grid written at startup.
+            create_flower_color_visualization(
+                images[:100], labels[:100], self.class_names,
+                num_samples=min(20, len(images)),
+                save_path=os.path.join(self.results_dir, "color_visualization.png"),
+                color_labels=colors[:100],
+            )
         self.train_ds = DeviceDataset(
             images, labels, colors=colors, mesh=mesh,
             augment=True,
@@ -314,9 +321,30 @@ class PipelineRunner:
         return diff.eps_fn()
 
     def _diffusion_viz(self, diff, decode_fn, encode_mu_fn, epoch: int):
-        """Per-cadence artifacts for the first 2 classes (v1:1273-1281)."""
+        """Per-cadence artifacts: first 2 classes for v1/v2 (v1:1273-1281);
+        classes [4, 53, 68] plus purple/yellow color grids for v3
+        (v3:1572-1583)."""
         eps_fn = self._epoch_eps_fn(diff)
-        for class_idx in range(min(len(self.class_names), 2)):
+        is_v3 = self.preset.latent.num_colors is not None
+        if is_v3:
+            from flowerdiff.viz.color_viz import generate_class_color_samples
+
+            class_list = [i for i in (4, 53, 68) if i < len(self.class_names)]
+            for class_idx in class_list:
+                name = self.class_names[class_idx]
+                for color in ("purple", "yellow"):
+                    generate_class_color_samples(
+                        diff.eps_fn(), decode_fn, diff.sched, class_idx, color,
+                        self.class_names,
+                        latent_dim=self.preset.latent.latent_dim,
+                        save_path=os.path.join(
+                            self.results_dir,
+                            f"sample_class_color_{name}_{color}_epoch_{epoch}.png",
+                        ),
+                    )
+        else:
+            class_list = range(min(len(self.class_names), 2))
+        for class_idx in class_list:
             name = self.class_names[class_idx]
             viz.create_diffusion_animation(
                 eps_fn, decode_fn, diff.sched, class_idx, self.class_names,

@@ -1,4 +1,4 @@
 """Cross-cutting utilities."""
-from flowerdiff.utils.image import psnr, to_uint8
+from flowerdiff.utils.image import normalize_latents, psnr, to_uint8
 
-__all__ = ["psnr", "to_uint8"]
+__all__ = ["normalize_latents", "psnr", "to_uint8"]

@@ -18,3 +18,14 @@ def psnr(x: jax.Array, y: jax.Array, max_val: float = 1.0) -> jax.Array:
 
 def to_uint8(img) -> np.ndarray:
     return np.uint8(255 * np.clip(np.asarray(img), 0, 1))
+
+
+def normalize_latents(z: jax.Array, eps: float = 1e-8):
+    """Z-score latents over the batch, returning (z_norm, mean, std).
+
+    Parity target: check_and_normalize_latent (v1:1195-1201) — dead code in
+    the reference, kept as a utility (SURVEY.md §2.1). std uses ddof=1 like
+    torch.std."""
+    mean = jnp.mean(z, axis=0, keepdims=True)
+    std = jnp.std(z, axis=0, keepdims=True, ddof=1)
+    return (z - mean) / (std + eps), mean, std

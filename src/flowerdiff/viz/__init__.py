@@ -16,6 +16,11 @@ from flowerdiff.viz.latent_plots import visualize_latent_space, encode_split
 from flowerdiff.viz.denoise_path import visualize_denoising_steps
 from flowerdiff.viz.animation import create_diffusion_animation
 from flowerdiff.viz.curves import plot_loss_curves, plot_single_loss_curve
+from flowerdiff.viz.latent_compare import visualize_latent_comparison
+from flowerdiff.viz.color_viz import (
+    create_flower_color_visualization,
+    generate_class_color_samples,
+)
 
 __all__ = [
     "generate_samples_grid",
@@ -27,4 +32,7 @@ __all__ = [
     "create_diffusion_animation",
     "plot_loss_curves",
     "plot_single_loss_curve",
+    "visualize_latent_comparison",
+    "create_flower_color_visualization",
+    "generate_class_color_samples",
 ]

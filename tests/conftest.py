@@ -21,6 +21,10 @@ if _SRC not in sys.path:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin pre-sets jax_platforms='axon,cpu', which overrides the
+# JAX_PLATFORMS env var — force the CPU platform explicitly so the 8 virtual
+# devices are used.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

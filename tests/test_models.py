@@ -72,8 +72,8 @@ def test_latent_denoiser_variants():
     v1 = ConditionalLatentDenoiser(**common)
     p1 = v1.init(jax.random.key(0), z, t, c)
     assert jax.jit(v1.apply)(p1, z, t, c).shape == (2, 16)
-    # v1 quirk: no separate cond projections exist
-    assert not any("cond_proj" in k for k in p1["params"])
+    # v1 quirk: no separate per-stage cond projections exist (v1:544)
+    assert "cond_proj_0" not in p1["params"]
 
     v2 = ConditionalLatentDenoiser(global_skip=True, **common)
     p2 = v2.init(jax.random.key(0), z, t, c)
@@ -82,7 +82,7 @@ def test_latent_denoiser_variants():
     v3 = ConditionalLatentDenoiser(shared_cond_proj=False, num_colors=4, **common)
     p3 = v3.init(jax.random.key(0), z, t, c, color)
     assert v3.apply(p3, z, t, c, color).shape == (2, 16)
-    assert any("cond_proj" in k for k in p3["params"])
+    assert "cond_proj_0" in p3["params"]
 
 
 def test_latent_denoiser_v2_skip_changes_output():

@@ -87,8 +87,15 @@ def vae_gan_setup():
     return cfg, state, step
 
 
+def _fresh(state):
+    # the train step donates its input state; tests sharing the fixture must
+    # step on a copy
+    return jax.tree.map(jnp.copy, state)
+
+
 def test_vae_gan_step_runs_and_updates(vae_gan_setup):
     cfg, state, step = vae_gan_setup
+    state = _fresh(state)
     images = jax.random.uniform(jax.random.key(1), (4, 64, 64, 3))
     labels = jnp.array([0, 1, 2, 3])
     gates = gates_array(vae_gan_loss_gates(200, 300))
@@ -111,6 +118,7 @@ def test_vae_gan_step_runs_and_updates(vae_gan_setup):
 
 def test_vae_gan_centers_frozen_early(vae_gan_setup):
     cfg, state, step = vae_gan_setup
+    state = _fresh(state)
     images = jax.random.uniform(jax.random.key(1), (4, 64, 64, 3))
     labels = jnp.array([0, 1, 2, 3])
     gates = gates_array(vae_gan_loss_gates(0, 300))  # recon-only stage
