@@ -50,6 +50,16 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[Sequence[str]] = None) -> None:
     args = build_parser().parse_args(argv)
 
+    import os
+
+    if os.environ.get("FLOWERDIFF_PLATFORM"):
+        # The axon TPU plugin pre-sets jax_platforms, overriding JAX_PLATFORMS;
+        # honor an explicit framework-level platform request (e.g. 'cpu' for
+        # smoke runs while the chip is busy).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["FLOWERDIFF_PLATFORM"])
+
     from flowerdiff.configs import get_preset, tiny_preset
     from flowerdiff.parallel import create_mesh
     from flowerdiff.runner import PipelineRunner

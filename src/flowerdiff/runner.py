@@ -106,6 +106,8 @@ class PipelineRunner:
         vae_epochs: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
         batch_size: Optional[int] = None,
+        final_sweep: bool = True,
+        cadence_viz: bool = True,
     ):
         preset = self.preset
         assert preset.vae is not None and preset.latent is not None
@@ -193,7 +195,8 @@ class PipelineRunner:
             diff_losses.append(loss)
             print(f"Epoch {epoch + 1}/{total_epochs}, Average Loss: {loss:.6f}")
             if (epoch + 1) % preset.diffusion_visualize_every == 0 or epoch == total_epochs - 1:
-                self._diffusion_viz(diff, decode_fn, encode_mu_fn, epoch + 1)
+                if cadence_viz:
+                    self._diffusion_viz(diff, decode_fn, encode_mu_fn, epoch + 1)
                 diff_ckpt.save(epoch + 1, {"params": diff.state.params})
         if diff_losses:
             diff_ckpt.save(max(total_epochs, start_epoch), {"params": diff.state.params})
@@ -207,7 +210,8 @@ class PipelineRunner:
             )
 
         # ---- Final sweep (v1:1406-1429). ----
-        self._final_sweep(diff, decode_fn, encode_mu_fn)
+        if final_sweep:
+            self._final_sweep(diff, decode_fn, encode_mu_fn)
         return trainer, diff
 
     # ------------------------------------------------------------------ #

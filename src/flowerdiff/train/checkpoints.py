@@ -35,6 +35,10 @@ class CheckpointManager:
         )
 
     def save(self, step: int, tree: Any, force: bool = True) -> None:
+        if step in self._mgr.all_steps():
+            # Re-saving a step (e.g. final save right after a cadence save at
+            # the same epoch) overwrites rather than raising.
+            self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(tree), force=force)
         self._mgr.wait_until_finished()
 

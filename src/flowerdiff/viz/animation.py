@@ -122,7 +122,7 @@ def create_diffusion_animation(
         for i, t in enumerate(timesteps)
     ]
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
-    imageio.mimsave(save_path, frames, fps=fps, loop=0)
+    imageio.mimsave(save_path, frames, duration=1000.0 / fps, loop=0)
     return save_path
 
 
@@ -148,5 +148,5 @@ def create_pixel_diffusion_animation(
         for t in sorted(capture, reverse=True)
     ]
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
-    imageio.mimsave(save_path, frames, fps=fps, loop=0)
+    imageio.mimsave(save_path, frames, duration=1000.0 / fps, loop=0)
     return save_path

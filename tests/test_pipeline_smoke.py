@@ -1,0 +1,54 @@
+"""End-to-end pipeline smoke (SURVEY.md §4 fake-data fast path): the tiny v1
+preset and the tiny v4 preset run train->checkpoint->resume on synthetic data
+with visualization disabled (the viz suite has its own tests)."""
+import numpy as np
+import pytest
+
+import jax
+
+from flowerdiff.configs import get_preset, tiny_preset
+from flowerdiff.runner import PipelineRunner
+
+
+@pytest.mark.slow
+def test_v1_latent_pipeline_smoke(tmp_path):
+    preset = tiny_preset(get_preset("v1"))
+    runner = PipelineRunner(
+        preset, results_dir=str(tmp_path), dataset="synthetic",
+        synthetic_size=24, seed=0,
+    )
+    trainer, diff = runner.run_latent(
+        total_epochs=1, vae_epochs=1, batch_size=8,
+        final_sweep=False, cadence_viz=False,
+    )
+    assert int(trainer.state.gen.step) >= 1
+    assert int(diff.state.step) >= 1
+    assert (tmp_path / "vae_history.jsonl").exists()
+    assert (tmp_path / "autoencoder_losses.png").exists()
+
+    # Train-if-missing: a second runner restores instead of retraining, and
+    # the diffusion model resumes at its checkpointed epoch.
+    runner2 = PipelineRunner(
+        preset, results_dir=str(tmp_path), dataset="synthetic",
+        synthetic_size=24, seed=0,
+    )
+    trainer2, diff2 = runner2.run_latent(
+        total_epochs=1, vae_epochs=1, batch_size=8,
+        final_sweep=False, cadence_viz=False,
+    )
+    gen0 = jax.tree.leaves(trainer.state.gen.params)[0]
+    gen1 = jax.tree.leaves(trainer2.state.gen.params)[0]
+    np.testing.assert_array_equal(np.asarray(gen0), np.asarray(gen1))
+
+
+@pytest.mark.slow
+def test_v4_pixel_pipeline_smoke(tmp_path):
+    preset = tiny_preset(get_preset("v4"))
+    runner = PipelineRunner(
+        preset, results_dir=str(tmp_path), dataset="synthetic",
+        synthetic_size=16, seed=0,
+    )
+    trainer = runner.run_pixel(epochs=1, batch_size=8)
+    assert int(trainer.state.step) >= 1
+    assert (tmp_path / "samples_grid.png").exists()
+    assert (tmp_path / "diffusion_animation.gif").exists()

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Training-step throughput on the real chip: the reference-width VAE-GAN
+step (v1 config) and the latent-diffusion step (frozen-VAE encode included).
+Reported as images/sec at the reference batch size 64.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "src"))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+
+from flowerdiff.train.latent_ddpm import (
+    LatentDiffusionConfig,
+    create_latent_diffusion_state,
+    make_latent_diffusion_step,
+)
+from flowerdiff.train.schedules import vae_gan_loss_gates
+from flowerdiff.train.vae_gan import (
+    VAEGANConfig,
+    create_vae_gan_state,
+    gates_array,
+    make_vae_gan_step,
+)
+
+BATCH = 64
+
+
+def bench(step_fn, args, label, n=8):
+    t0 = time.perf_counter()
+    out = step_fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    compile_s = time.perf_counter() - t0
+    state = out[0]
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = step_fn(state, *args[1:])
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        state = out[0]
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(f"{label:24s} compile {compile_s:6.1f}s  step {best*1000:7.2f}ms "
+          f" {BATCH/best:8.1f} img/s", flush=True)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    rng = jax.random.key(0)
+    images = jax.random.uniform(rng, (BATCH, 64, 64, 3))
+    labels = jnp.arange(BATCH, dtype=jnp.int32) % 102
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+    if which in ("all", "vae_gan"):
+        cfg = VAEGANConfig(total_steps=1000, use_perceptual=False)
+        state, vae, disc = create_vae_gan_state(rng, cfg)
+        step = make_vae_gan_step(vae, disc, cfg, vgg=None)
+        gates = gates_array(vae_gan_loss_gates(200, 1200))
+        bench(step, (state, images, labels, gates, rng), "vae_gan (no vgg)")
+
+    if which in ("all", "latent_ddpm"):
+        cfg = VAEGANConfig(total_steps=1000, use_perceptual=False)
+        _, vae, _ = create_vae_gan_state(rng, cfg)
+        vae_params = vae.init(
+            {"params": rng}, jnp.zeros((1, 64, 64, 3)), rng,
+            method=type(vae).init_all,
+        )["params"]
+        lcfg = LatentDiffusionConfig()
+        dstate, model, sched = create_latent_diffusion_state(rng, lcfg)
+        dstep = make_latent_diffusion_step(model, vae, sched, lcfg)
+        bench(dstep, (dstate, vae_params, images, labels, None, rng),
+              "latent_ddpm (frozen VAE)")
+
+
+if __name__ == "__main__":
+    main()
