@@ -1,0 +1,286 @@
+"""Whole-reverse-process Pallas kernel: 1000 denoising steps in ONE kernel.
+
+Motivation (measured, BASELINE.md): the scan-based XLA sampler at reference
+width is per-step-overhead-bound at grid batch sizes — f32, bf16 and fused-
+per-stage Pallas variants all run ~79us/step at batch 50 because each step
+issues ~50 small XLA ops. This kernel removes the per-step program entirely:
+
+  - ALL inference weights live in VMEM for the whole sampling run. At
+    inference the length-1 attention needs only the v/out projections
+    (models/latent_unet.py), so the resident set is ~7.3M params = ~14.6 MB
+    bf16 — inside the ~16 MB/core budget for batches <= ~64.
+  - the 1000-step loop is a `fori_loop` INSIDE the kernel: state (B, 256)
+    never leaves VMEM; there is zero HBM traffic per step beyond nothing —
+    weights, schedule tables, activations are all on-chip.
+  - ancestral noise comes from the on-core PRNG (pltpu.prng_random_bits) via
+    a Box-Muller transform, seeded once per call. The noise STREAM therefore
+    differs from jax.random's threefry (documented as implementation-defined,
+    SURVEY.md §7.3(5)); its distribution is tested, and `stochastic=False`
+    gives a deterministic path that must match the XLA sampler bitwise-ish
+    (bf16 tolerance) for verification.
+  - per-class conditioning projections are time-invariant, so they are
+    precomputed OUTSIDE (one tiny XLA call per sampling request) and enter
+    the kernel as (B, d) adds; only the time-embedding MLP and per-stage
+    time projections (a few 1-row matmuls) run per step.
+
+Use `fused_sample(model, params, ...)` as a drop-in for diffusion.sampler's
+ancestral `sample` on the latent pipeline.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flowerdiff.diffusion.schedule import DiffusionSchedule
+from flowerdiff.models.latent_unet import ConditionalLatentDenoiser
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _ln(x, gamma, beta, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def _mm(a, w, b):
+    return jnp.dot(a.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32) + b
+
+
+def _normal(shape):
+    """Box-Muller from two uint32 draws -> standard normal f32."""
+    bits_a = pltpu.prng_random_bits(shape)
+    bits_b = pltpu.prng_random_bits(shape)
+    u1 = (bits_a >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    u2 = (bits_b >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    u1 = jnp.maximum(u1, 1e-7)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+
+def _make_kernel(n_stages: int, n_steps: int, stochastic: bool):
+    def kernel(*refs):
+        it = iter(refs)
+
+        def nxt():
+            return next(it)
+
+        seed_ref = nxt()          # (1, 1) int32 SMEM
+        x_init_ref = nxt()        # (B, latent) f32
+        freqs_ref = nxt()         # (1, half) f32
+        beta_ref = nxt()          # (n_steps, 1) f32
+        alpha_ref = nxt()
+        abar_ref = nxt()
+        tw1 = nxt(); tb1 = nxt(); tw2 = nxt(); tb2 = nxt()   # time-emb MLP
+        wl = nxt(); bl = nxt()                               # latent proj
+        stages = []
+        for _ in range(n_stages):
+            stages.append({name: nxt() for name in (
+                "wt", "bt", "cond", "wb", "bb", "g1", "b1", "g2", "b2",
+                "wv", "bv", "wo", "bo", "wd", "bd",
+            )})
+        wtf = nxt(); btf = nxt()          # final time proj
+        cond_f = nxt()                    # (B, latent) final cond add
+        gf = nxt(); bff = nxt()           # final norm affine
+        wf = nxt(); bf_ = nxt()           # final dense
+        out_ref = nxt()                   # (B, latent) f32
+
+        if stochastic:
+            pltpu.prng_seed(seed_ref[0, 0])
+
+        def eps_model(x, t_f32):
+            # Sinusoidal time embedding (core/embeddings.py semantics).
+            args = t_f32 * freqs_ref[:]
+            emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+            tb = _mm(emb, tw1[:], tb1[:])
+            tb = tb * jax.nn.sigmoid(tb)
+            t_base = _mm(tb, tw2[:], tb2[:])  # (1, temb)
+
+            h = _mm(x, wl[:], bl[:])
+            for s in stages:
+                h = h + _mm(t_base, s["wt"][:], s["bt"][:]) + s["cond"][:]
+                u = _ln(_mm(h, s["wb"][:], s["bb"][:]), s["g1"][:], s["b1"][:])
+                u = u * jax.nn.sigmoid(u)
+                h = h + u
+                hn = _ln(h, s["g2"][:], s["b2"][:])
+                h = h + _mm(_mm(hn, s["wv"][:], s["bv"][:]), s["wo"][:], s["bo"][:])
+                h = _mm(h, s["wd"][:], s["bd"][:])
+            h = h + _mm(t_base, wtf[:], btf[:]) + cond_f[:]
+            h = _ln(h, gf[:], bff[:])
+            return _mm(h, wf[:], bf_[:])
+
+        def step(i, x):
+            t = n_steps - 1 - i
+            eps = eps_model(x, jnp.float32(t))
+            a = alpha_ref[t, 0]
+            ab = abar_ref[t, 0]
+            b = beta_ref[t, 0]
+            mean = (x - ((1.0 - a) / jnp.sqrt(1.0 - ab)) * eps) * jax.lax.rsqrt(a)
+            if stochastic:
+                keep = (t > 0).astype(jnp.float32)
+                return mean + jnp.sqrt(b) * _normal(x.shape) * keep
+            return mean
+
+        out_ref[:] = jax.lax.fori_loop(0, n_steps, step, x_init_ref[:])
+
+    return kernel
+
+
+def prepare_fused_sampler(model: ConditionalLatentDenoiser, params: dict):
+    """One-time weight prep: bf16 matmul operands, 2-D biases/affines, the
+    v-slice of packed qkv (degenerate length-1 attention)."""
+    p = params["params"] if "params" in params else params
+    n_stages = len(model.hidden_dims) - 1
+
+    def w(x):
+        return x.astype(jnp.bfloat16)
+
+    def row(x):
+        return x.reshape(1, -1).astype(jnp.float32)
+
+    prep = {
+        "tw1": w(p["time_emb"]["lin1"]["kernel"]), "tb1": row(p["time_emb"]["lin1"]["bias"]),
+        "tw2": w(p["time_emb"]["lin2"]["kernel"]), "tb2": row(p["time_emb"]["lin2"]["bias"]),
+        "wl": w(p["latent_proj"]["kernel"]), "bl": row(p["latent_proj"]["bias"]),
+        "stages": [],
+        "wtf": w(p["final_time_proj"]["kernel"]), "btf": row(p["final_time_proj"]["bias"]),
+        "gf": row(p["final_norm"]["scale"]), "bff": row(p["final_norm"]["bias"]),
+        "wf": w(p["final"]["kernel"]), "bf_": row(p["final"]["bias"]),
+        "n_stages": n_stages,
+    }
+    for i in range(n_stages):
+        attn = p[f"attn_{i}"]
+        qkv_k, qkv_b = attn["qkv"]["kernel"], attn["qkv"]["bias"]
+        d = qkv_k.shape[0]
+        prep["stages"].append({
+            "wt": w(p[f"time_proj_{i}"]["kernel"]), "bt": row(p[f"time_proj_{i}"]["bias"]),
+            "wb": w(p[f"block_fc_{i}"]["kernel"]), "bb": row(p[f"block_fc_{i}"]["bias"]),
+            "g1": row(p[f"block_ln_{i}"]["scale"]), "b1": row(p[f"block_ln_{i}"]["bias"]),
+            "g2": row(p[f"stage_ln_{i}"]["scale"]), "b2": row(p[f"stage_ln_{i}"]["bias"]),
+            "wv": w(qkv_k[:, 2 * d:3 * d]), "bv": row(qkv_b[2 * d:3 * d]),
+            "wo": w(attn["out"]["kernel"]), "bo": row(attn["out"]["bias"]),
+            "wd": w(p[f"downsample_{i}"]["kernel"]), "bd": row(p[f"downsample_{i}"]["bias"]),
+        })
+    return prep
+
+
+def _cond_adds(model: ConditionalLatentDenoiser, params: dict, cond, color):
+    """Time-invariant per-class conditioning adds, via the flax modules."""
+    p = params["params"] if "params" in params else params
+
+    def mlp(sub, x):
+        h = x @ sub["lin1"]["kernel"] + sub["lin1"]["bias"]
+        h = h * jax.nn.sigmoid(h)
+        return h @ sub["lin2"]["kernel"] + sub["lin2"]["bias"]
+
+    ce = p["cond_emb"]
+    if model.num_colors is not None:
+        f_emb = ce["flower_embedding"]["embedding"][cond]
+        c_emb = ce["color_embedding"]["embedding"][color]
+        c_base = (
+            jnp.concatenate([f_emb, c_emb], axis=-1) @ ce["proj"]["kernel"]
+            + ce["proj"]["bias"]
+        )
+    else:
+        c_base = mlp(ce, ce["embedding"]["embedding"][cond])
+
+    adds = []
+    for i in range(len(model.hidden_dims) - 1):
+        if model.shared_cond_proj:
+            proj = p[f"time_proj_{i}"]
+        else:
+            proj = p[f"cond_proj_{i}"]
+        adds.append(c_base @ proj["kernel"] + proj["bias"])
+    final = c_base @ p["final_cond_proj"]["kernel"] + p["final_cond_proj"]["bias"]
+    return adds, final
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_stages", "time_emb_dim", "n_steps", "stochastic", "interpret",
+        "latent_dim",
+    ),
+)
+def _run(prep, sched_tables, x_init, cond_adds, cond_final, seed,
+         n_stages, time_emb_dim, n_steps, stochastic, interpret, latent_dim):
+    batch = x_init.shape[0]
+    kernel = _make_kernel(n_stages, n_steps, stochastic)
+    beta2, alpha2, abar2 = sched_tables
+
+    half = time_emb_dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32)
+        * (-math.log(10000.0) / (half - 1))
+    ).reshape(1, half)
+
+    args = [seed, x_init, freqs, beta2, alpha2, abar2,
+            prep["tw1"], prep["tb1"], prep["tw2"], prep["tb2"],
+            prep["wl"], prep["bl"]]
+    for i, s in enumerate(prep["stages"]):
+        args += [s["wt"], s["bt"], cond_adds[i], s["wb"], s["bb"],
+                 s["g1"], s["b1"], s["g2"], s["b2"],
+                 s["wv"], s["bv"], s["wo"], s["bo"], s["wd"], s["bd"]]
+    args += [prep["wtf"], prep["btf"], cond_final,
+             prep["gf"], prep["bff"], prep["wf"], prep["bf_"]]
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args[1:]
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, latent_dim), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024),
+        ),
+    )(*args)
+
+
+def fused_sample(
+    model: ConditionalLatentDenoiser,
+    params: dict,
+    sched: DiffusionSchedule,
+    rng: jax.Array,
+    batch: int,
+    cond: jax.Array,
+    color: Optional[jax.Array] = None,
+    stochastic: bool = True,
+    interpret: Optional[bool] = None,
+    prep: Optional[dict] = None,
+    x_init: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full ancestral sampling (v1:594-598 semantics) as one Pallas kernel.
+
+    `rng` seeds both the initial noise (via jax.random, so x_init matches the
+    XLA sampler's) and the in-kernel step-noise PRNG.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if prep is None:
+        prep = prepare_fused_sampler(model, params)
+    latent_dim = model.latent_dim
+    init_key, scan_key = jax.random.split(rng)
+    if x_init is None:
+        x_init = jax.random.normal(init_key, (batch, latent_dim), jnp.float32)
+    adds, final = _cond_adds(model, params, cond, color)
+    seed = jax.random.randint(scan_key, (1, 1), 0, 2**31 - 1, jnp.int32)
+    tables = (
+        sched.beta.reshape(-1, 1),
+        sched.alpha.reshape(-1, 1),
+        sched.alpha_bar.reshape(-1, 1),
+    )
+    prep_arrays = {k: v for k, v in prep.items() if k != "n_stages"}
+    return _run(
+        prep_arrays, tables, x_init, tuple(adds), final, seed,
+        n_stages=prep["n_stages"], time_emb_dim=model.time_emb_dim,
+        n_steps=sched.n_steps, stochastic=stochastic, interpret=interpret,
+        latent_dim=latent_dim,
+    )

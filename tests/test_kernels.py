@@ -72,3 +72,53 @@ def test_fast_denoiser_matches_flax(variant):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expected), atol=3e-2 * scale,
     )
+
+
+def test_fused_full_sampler_deterministic_matches_xla():
+    """kernels/full_sampler.py with stochastic=False must match an explicit
+    deterministic p_sample_mean loop (bf16 tolerance)."""
+    from flowerdiff.diffusion import linear_schedule
+    from flowerdiff.diffusion.ddpm import p_sample_mean
+    from flowerdiff.kernels.full_sampler import fused_sample
+
+    model = ConditionalLatentDenoiser(
+        latent_dim=128, hidden_dims=(128, 256, 128), time_emb_dim=128,
+        num_classes=11,
+    )
+    c = jnp.arange(8) % 11
+    params = model.init(
+        jax.random.key(1), jnp.zeros((8, 128)), jnp.zeros((8,), jnp.int32), c
+    )
+    sched = linear_schedule(5)
+    rng = jax.random.key(7)
+    out = fused_sample(model, params, sched, rng, 8, c, stochastic=False,
+                       interpret=True)
+
+    init_key, _ = jax.random.split(rng)
+    xr = jax.random.normal(init_key, (8, 128))
+    for t in range(4, -1, -1):
+        tv = jnp.full((8,), t, jnp.int32)
+        xr = p_sample_mean(sched, xr, tv, model.apply(params, xr, tv, c))
+    scale = float(jnp.abs(xr).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xr),
+                               atol=3e-2 * scale)
+
+
+def test_fused_full_sampler_v3_conditioning():
+    from flowerdiff.diffusion import linear_schedule
+    from flowerdiff.kernels.full_sampler import fused_sample
+
+    model = ConditionalLatentDenoiser(
+        latent_dim=128, hidden_dims=(128, 128), time_emb_dim=128,
+        num_classes=11, num_colors=4, shared_cond_proj=False,
+    )
+    c = jnp.arange(8) % 11
+    col = jnp.arange(8) % 4
+    params = model.init(
+        jax.random.key(1), jnp.zeros((8, 128)), jnp.zeros((8,), jnp.int32),
+        c, col,
+    )
+    sched = linear_schedule(3)
+    out = fused_sample(model, params, sched, jax.random.key(0), 8, c,
+                       color=col, stochastic=False, interpret=True)
+    assert out.shape == (8, 128) and bool(jnp.isfinite(out).all())
