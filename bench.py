@@ -30,12 +30,18 @@ def _log(*args):
 
 
 def measure_ours(batch=50, n_steps=1000, latent=256, repeats=3):
+    """Fused-kernel sampling path (kernels/full_sampler.py: the whole
+    1000-step reverse process as ONE Pallas kernel, weights VMEM-resident)
+    + jitted VAE decode. Numerics: deterministic mode matches the XLA
+    scan sampler to bf16 tolerance (tests/test_kernels.py); the ancestral
+    noise stream is the on-core PRNG (implementation-defined, SURVEY §7.3)."""
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 
-    from flowerdiff.diffusion import linear_schedule, sample
+    from flowerdiff.diffusion import linear_schedule
+    from flowerdiff.kernels.full_sampler import fused_sample, prepare_fused_sampler
     from flowerdiff.models import ConditionalLatentDenoiser
     from flowerdiff.models.vae import FlowerVAE
 
@@ -51,16 +57,17 @@ def measure_ours(batch=50, n_steps=1000, latent=256, repeats=3):
         {"params": rng}, jnp.zeros((1, 64, 64, 3)), rng, method=FlowerVAE.init_all
     )
     sched = linear_schedule(n_steps)
+    prep = prepare_fused_sampler(model, params)
 
-    def eps_fn(xt, t, c):
-        return model.apply(params, xt, t, c)
+    decode = jax.jit(
+        lambda z: vae.apply(vae_params, z, method=FlowerVAE.decode)
+    )
 
-    @jax.jit
     def pipeline(key):
-        z = sample(sched, eps_fn, key, (batch, latent), classes)
-        return vae.apply(vae_params, z, method=FlowerVAE.decode)
+        z = fused_sample(model, params, sched, key, batch, classes, prep=prep)
+        return decode(z)
 
-    _log("compiling sampling pipeline...")
+    _log("compiling sampling pipeline (fused Pallas sampler)...")
     t_compile = time.perf_counter()
     out = jax.block_until_ready(pipeline(jax.random.key(1)))
     _log(f"compile+first run: {time.perf_counter() - t_compile:.1f}s, "
@@ -72,7 +79,7 @@ def measure_ours(batch=50, n_steps=1000, latent=256, repeats=3):
         jax.block_until_ready(pipeline(jax.random.key(i + 2)))
         times.append(time.perf_counter() - start)
     best = min(times)
-    _log(f"run times: {[f'{t:.3f}' for t in times]}")
+    _log(f"run times: {[f'{t:.4f}' for t in times]}")
     return {
         "images_per_sec": batch / best,
         "steps_per_sec": n_steps / best,

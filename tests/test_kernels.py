@@ -122,3 +122,40 @@ def test_fused_full_sampler_v3_conditioning():
     out = fused_sample(model, params, sched, jax.random.key(0), 8, c,
                        color=col, stochastic=False, interpret=True)
     assert out.shape == (8, 128) and bool(jnp.isfinite(out).all())
+
+
+def test_fused_sampler_noise_statistics():
+    """With a zero-weight model (eps == 0) and zero x_init, the reverse
+    recursion is x_{t-1} = x_t/sqrt(a_t) + sqrt(b_t) z_t, so the final
+    variance has the closed form v <- v/alpha_t + beta_t. Validates the
+    in-kernel Box-Muller PRNG end-to-end."""
+    from flowerdiff.diffusion import linear_schedule
+    from flowerdiff.kernels.full_sampler import fused_sample
+
+    model = ConditionalLatentDenoiser(
+        latent_dim=128, hidden_dims=(128, 128), time_emb_dim=128, num_classes=4
+    )
+    c = jnp.zeros((64,), jnp.int32)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((64, 128)), jnp.zeros((64,), jnp.int32), c
+    )
+    zero_params = jax.tree.map(jnp.zeros_like, params)
+    sched = linear_schedule(20)
+    try:
+        out = fused_sample(
+            model, zero_params, sched, jax.random.key(3), 64, c,
+            stochastic=True, interpret=True,
+            x_init=jnp.zeros((64, 128), jnp.float32),
+        )
+    except Exception as exc:  # pragma: no cover - interpret-mode PRNG support
+        import pytest
+
+        pytest.skip(f"interpret-mode PRNG unsupported here: {exc}")
+
+    v = 0.0
+    for t in range(sched.n_steps - 1, 0, -1):  # t=0 step adds no noise
+        v = v / float(sched.alpha[t]) + float(sched.beta[t])
+    v = v / float(sched.alpha[0])
+    sample_var = float(jnp.var(out))
+    np.testing.assert_allclose(sample_var, v, rtol=0.1)
+    np.testing.assert_allclose(float(jnp.mean(out)), 0.0, atol=0.05)
