@@ -12,6 +12,8 @@ Dropout on the attention weights matches torch's semantics (train-time only).
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -72,6 +74,7 @@ class MultiHeadSelfAttention(nn.Module):
     dim: int
     num_heads: int = 8
     dropout_rate: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
@@ -79,7 +82,8 @@ class MultiHeadSelfAttention(nn.Module):
         assert dim == self.dim and dim % self.num_heads == 0
         head_dim = dim // self.num_heads
 
-        qkv = nn.Dense(3 * dim, kernel_init=kaiming_init, name="qkv")(x)
+        qkv = nn.Dense(3 * dim, kernel_init=kaiming_init, dtype=self.dtype,
+                       name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -95,4 +99,5 @@ class MultiHeadSelfAttention(nn.Module):
             )
         out = jnp.einsum("bhst,bhtd->bhsd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(batch, seq, dim)
-        return nn.Dense(dim, kernel_init=kaiming_init, name="out")(out)
+        return nn.Dense(dim, kernel_init=kaiming_init, dtype=self.dtype,
+                        name="out")(out)

@@ -15,9 +15,13 @@ chains XLA fuses into the surrounding convs.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+Dtype = Any  # compute dtype; params always float32 (flax param_dtype default)
 
 # Kaiming-normal init matching torch.nn.init.kaiming_normal_(w, a=0.2)
 # (reference init policy, v1/model_train_test.py:326-337):
@@ -45,15 +49,19 @@ class LayerNorm2d(nn.Module):
 
     num_channels: int
     eps: float = 1e-5
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         weight = self.param("weight", nn.initializers.ones, (self.num_channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.num_channels,))
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * weight + bias
+        # statistics in float32 for stability regardless of compute dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * weight + bias
+        return y.astype(self.dtype or x.dtype)
 
 
 class CALayer(nn.Module):
@@ -67,15 +75,18 @@ class CALayer(nn.Module):
 
     channels: int
     reduction: int = 8
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         pooled = jnp.mean(x, axis=(1, 2))  # (B, C)
         hidden = nn.Dense(self.channels // self.reduction, use_bias=False,
-                          kernel_init=kaiming_init, name="squeeze")(pooled)
+                          kernel_init=kaiming_init, dtype=self.dtype,
+                          name="squeeze")(pooled)
         hidden = swish(hidden)
         gate = nn.Dense(self.channels, use_bias=False,
-                        kernel_init=kaiming_init, name="excite")(hidden)
+                        kernel_init=kaiming_init, dtype=self.dtype,
+                        name="excite")(hidden)
         gate = jax.nn.sigmoid(gate)
         return x * gate[:, None, None, :]
 
@@ -88,6 +99,7 @@ class SpatialAttention(nn.Module):
     """
 
     kernel_size: int = 7
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -95,7 +107,7 @@ class SpatialAttention(nn.Module):
         max_map = jnp.max(x, axis=-1, keepdims=True)
         stacked = jnp.concatenate([avg_map, max_map], axis=-1)
         attn = nn.Conv(1, kernel_size=(self.kernel_size, self.kernel_size),
-                       padding="SAME", use_bias=False,
+                       padding="SAME", use_bias=False, dtype=self.dtype,
                        kernel_init=kaiming_init, name="conv")(stacked)
         return x * jax.nn.sigmoid(attn)
 
@@ -148,17 +160,18 @@ class ResidualBlock(nn.Module):
     """
 
     channels: int
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         residual = x
-        h = nn.Conv(self.channels, (3, 3), padding="SAME",
+        h = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=kaiming_init, name="conv1")(x)
-        h = LayerNorm2d(self.channels, name="ln1")(h)
+        h = LayerNorm2d(self.channels, dtype=self.dtype, name="ln1")(h)
         h = swish(h)
-        h = nn.Conv(self.channels, (3, 3), padding="SAME",
+        h = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=kaiming_init, name="conv2")(h)
-        h = LayerNorm2d(self.channels, name="ln2")(h)
-        h = CALayer(self.channels, name="ca")(h)
-        h = SpatialAttention(name="sa")(h)
+        h = LayerNorm2d(self.channels, dtype=self.dtype, name="ln2")(h)
+        h = CALayer(self.channels, dtype=self.dtype, name="ca")(h)
+        h = SpatialAttention(dtype=self.dtype, name="sa")(h)
         return swish(h + residual)

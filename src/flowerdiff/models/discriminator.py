@@ -15,6 +15,8 @@ Deviations, both deliberate and documented:
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 from flax import linen as nn
 
@@ -23,17 +25,22 @@ from flowerdiff.core.layers import kaiming_init
 
 class Discriminator64(nn.Module):
     in_channels: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import jax.numpy as jnp
+
         h = x
         for i, ch in enumerate((64, 128, 256, 512)):
             h = nn.Conv(ch, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
-                        kernel_init=kaiming_init, name=f"conv{i}")(h)
+                        kernel_init=kaiming_init, dtype=self.dtype,
+                        name=f"conv{i}")(h)
             if i > 0:
-                h = nn.GroupNorm(num_groups=32, name=f"norm{i}")(h)
+                h = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                                 name=f"norm{i}")(h)
             h = nn.leaky_relu(h, negative_slope=0.2)
-        # 4x4 valid conv -> (B, 1, 1, 1) -> logits (B,)
+        # 4x4 valid conv -> (B, 1, 1, 1) -> logits (B,) in float32 (BCE)
         h = nn.Conv(1, (4, 4), padding="VALID", kernel_init=kaiming_init,
-                    name="head")(h)
+                    name="head")(h.astype(jnp.float32))
         return h.reshape(x.shape[0])

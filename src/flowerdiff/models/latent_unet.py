@@ -31,7 +31,7 @@ flowerdiff.parallel.sharding.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,7 @@ class ConditionalLatentDenoiser(nn.Module):
     dropout_rate: float = 0.3
     shared_cond_proj: bool = True  # v1/v2 quirk (v1:544); False for v3
     global_skip: bool = False  # v2:561
+    dtype: Any = None  # compute dtype for the stage matmuls (params float32)
 
     @nn.compact
     def __call__(
@@ -80,47 +81,53 @@ class ConditionalLatentDenoiser(nn.Module):
                 self.num_classes, self.time_emb_dim, name="cond_emb"
             )(cond)
 
-        h = nn.Dense(hidden[0], kernel_init=kaiming_init, name="latent_proj")(x)
+        h = nn.Dense(hidden[0], kernel_init=kaiming_init, dtype=self.dtype,
+                     name="latent_proj")(x)
 
         for i in range(len(hidden) - 1):
             dim = hidden[i]
-            time_proj = nn.Dense(dim, kernel_init=kaiming_init, name=f"time_proj_{i}")
+            time_proj = nn.Dense(dim, kernel_init=kaiming_init,
+                                 dtype=self.dtype, name=f"time_proj_{i}")
             h = h + time_proj(t_base)
             if self.shared_cond_proj:
                 h = h + time_proj(c_base)  # v1:544 — shared projection quirk
             else:
                 h = h + nn.Dense(dim, kernel_init=kaiming_init,
-                                 name=f"cond_proj_{i}")(c_base)
+                                 dtype=self.dtype, name=f"cond_proj_{i}")(c_base)
 
             # Residual MLP block: Dense -> LayerNorm -> Dropout -> swish (+res)
-            blk = nn.Dense(dim, kernel_init=kaiming_init, name=f"block_fc_{i}")(h)
-            blk = nn.LayerNorm(name=f"block_ln_{i}")(blk)
+            blk = nn.Dense(dim, kernel_init=kaiming_init, dtype=self.dtype,
+                           name=f"block_fc_{i}")(h)
+            blk = nn.LayerNorm(dtype=self.dtype, name=f"block_ln_{i}")(blk)
             blk = nn.Dropout(self.dropout_rate, name=f"block_drop_{i}")(
                 blk, deterministic=deterministic
             )
             blk = swish(blk)
             h = h + blk
 
-            h_norm = nn.LayerNorm(name=f"stage_ln_{i}")(h)
+            h_norm = nn.LayerNorm(dtype=self.dtype, name=f"stage_ln_{i}")(h)
             attn = MultiHeadSelfAttention(
-                dim, num_heads=8, dropout_rate=self.dropout_rate, name=f"attn_{i}"
+                dim, num_heads=8, dropout_rate=self.dropout_rate,
+                dtype=self.dtype, name=f"attn_{i}"
             )(h_norm[:, None, :], deterministic=deterministic)
             h = h + attn[:, 0, :]
 
             h = nn.Dense(hidden[i + 1], kernel_init=kaiming_init,
-                         name=f"downsample_{i}")(h)
+                         dtype=self.dtype, name=f"downsample_{i}")(h)
 
         h = h + nn.Dense(hidden[-1], kernel_init=kaiming_init,
-                         name="final_time_proj")(t_base)
+                         dtype=self.dtype, name="final_time_proj")(t_base)
         h = h + nn.Dense(hidden[-1], kernel_init=kaiming_init,
-                         name="final_cond_proj")(c_base)
-        h = nn.LayerNorm(name="final_norm")(h)
+                         dtype=self.dtype, name="final_cond_proj")(c_base)
+        h = nn.LayerNorm(dtype=self.dtype, name="final_norm")(h)
         final = nn.Dense(self.latent_dim, kernel_init=kaiming_init, name="final")
-        out = final(h)
+        out = final(h.astype(jnp.float32))  # epsilon head emits float32
 
         residual_weight = self.param(
             "residual_weight", nn.initializers.constant(0.1), ()
         )
         if self.global_skip:
-            out = out + jax.nn.sigmoid(residual_weight) * final(x_input)
+            out = out + jax.nn.sigmoid(residual_weight) * final(
+                x_input.astype(jnp.float32)
+            )
         return out

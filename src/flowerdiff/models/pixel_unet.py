@@ -14,6 +14,8 @@ All ReLU, NHWC, no normalization layers — faithful to the reference design.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -21,12 +23,12 @@ from flax import linen as nn
 from flowerdiff.core.layers import kaiming_init
 
 
-def _double_conv(h, ch, name, final_relu=True):
+def _double_conv(h, ch, name, final_relu=True, dtype=None):
     h = nn.Conv(ch, (3, 3), padding="SAME", kernel_init=kaiming_init,
-                name=f"{name}_a")(h)
+                dtype=dtype, name=f"{name}_a")(h)
     h = nn.relu(h)
     h = nn.Conv(ch, (3, 3), padding="SAME", kernel_init=kaiming_init,
-                name=f"{name}_b")(h)
+                dtype=dtype, name=f"{name}_b")(h)
     if final_relu:
         h = nn.relu(h)
     return h
@@ -37,6 +39,7 @@ class PixelUNet(nn.Module):
     base_channels: int = 64
     time_emb_dim: int = 128
     learnable_residual: bool = False  # v5:54,144
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array) -> jax.Array:
@@ -56,34 +59,37 @@ class PixelUNet(nn.Module):
             return b[:, None, None, :]
 
         # Encoder
-        x1 = _double_conv(x, base, "conv1") + stage_bias(base, "time_to_s1")
+        x1 = _double_conv(x, base, "conv1", dtype=self.dtype) + stage_bias(base, "time_to_s1")
         x2 = nn.Conv(base * 2, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
-                     kernel_init=kaiming_init, name="down1")(x1)
-        x2 = _double_conv(x2, base * 2, "conv2") + stage_bias(base * 2, "time_to_s2")
+                     kernel_init=kaiming_init, dtype=self.dtype, name="down1")(x1)
+        x2 = _double_conv(x2, base * 2, "conv2", dtype=self.dtype) + stage_bias(base * 2, "time_to_s2")
         x3 = nn.Conv(base * 4, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
-                     kernel_init=kaiming_init, name="down2")(x2)
-        x3 = _double_conv(x3, base * 4, "conv3") + stage_bias(base * 4, "time_to_s3")
+                     kernel_init=kaiming_init, dtype=self.dtype, name="down2")(x2)
+        x3 = _double_conv(x3, base * 4, "conv3", dtype=self.dtype) + stage_bias(base * 4, "time_to_s3")
 
         # Bottleneck 256 -> 512 -> 256 (v4:74-79)
         h = nn.Conv(base * 8, (3, 3), padding="SAME", kernel_init=kaiming_init,
-                    name="bottleneck_a")(x3)
+                    dtype=self.dtype, name="bottleneck_a")(x3)
         h = nn.relu(h)
         h = nn.Conv(base * 4, (3, 3), padding="SAME", kernel_init=kaiming_init,
-                    name="bottleneck_b")(h)
+                    dtype=self.dtype, name="bottleneck_b")(h)
         h = nn.relu(h)
 
         # Decoder with concat skips
         h = nn.ConvTranspose(base * 2, (4, 4), strides=(2, 2), padding="SAME",
-                             kernel_init=kaiming_init, name="up1")(h)
+                             kernel_init=kaiming_init, dtype=self.dtype,
+                             name="up1")(h)
         h = jnp.concatenate([h, x2], axis=-1)
-        h = _double_conv(h, base * 2, "conv4")
+        h = _double_conv(h, base * 2, "conv4", dtype=self.dtype)
         h = nn.ConvTranspose(base, (4, 4), strides=(2, 2), padding="SAME",
-                             kernel_init=kaiming_init, name="up2")(h)
+                             kernel_init=kaiming_init, dtype=self.dtype,
+                             name="up2")(h)
         h = jnp.concatenate([h, x1], axis=-1)
-        h = _double_conv(h, base, "conv5")
+        h = _double_conv(h, base, "conv5", dtype=self.dtype)
 
         out = nn.Conv(self.in_channels, (3, 3), padding="SAME",
-                      kernel_init=kaiming_init, name="out_conv")(h)
+                      kernel_init=kaiming_init, name="out_conv")(
+            h.astype(jnp.float32))  # epsilon head emits float32
 
         if self.learnable_residual:
             res_ratio = self.param("res_ratio", nn.initializers.constant(0.1), ())

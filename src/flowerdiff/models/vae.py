@@ -21,6 +21,8 @@ irrelevant for from-scratch training.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,32 +37,35 @@ class Encoder(nn.Module):
     latent_dim: int = 256
     channels: tuple = (64, 128, 256, 512)  # reference widths (v1:185-208)
     head_width: int = 512
+    dtype: Any = None  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jax.Array):
         # Stem: conv3x3 -> LN2d -> swish (v1:185-189)
-        h = nn.Conv(self.channels[0], (3, 3), padding="SAME",
+        h = nn.Conv(self.channels[0], (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=kaiming_init, name="stem_conv")(x)
-        h = LayerNorm2d(self.channels[0], name="stem_ln")(h)
+        h = LayerNorm2d(self.channels[0], dtype=self.dtype, name="stem_ln")(h)
         h = swish(h)
 
         # Downsampling stages: conv4x4/s2 -> LN2d -> swish -> ResBlock
         for i, ch in enumerate(self.channels[1:], start=1):
             h = nn.Conv(ch, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
-                        kernel_init=kaiming_init, name=f"down{i}_conv")(h)
-            h = LayerNorm2d(ch, name=f"down{i}_ln")(h)
+                        dtype=self.dtype, kernel_init=kaiming_init,
+                        name=f"down{i}_conv")(h)
+            h = LayerNorm2d(ch, dtype=self.dtype, name=f"down{i}_ln")(h)
             h = swish(h)
-            h = ResidualBlock(ch, name=f"res{i}")(h)
+            h = ResidualBlock(ch, dtype=self.dtype, name=f"res{i}")(h)
 
         flat = h.reshape(h.shape[0], -1)  # (B, 8*8*512) at reference size
 
         def head(name: str) -> jax.Array:
             y = nn.Dense(self.head_width, kernel_init=kaiming_init,
-                         name=f"{name}_fc1")(flat)
-            y = nn.LayerNorm(name=f"{name}_ln")(y)
+                         dtype=self.dtype, name=f"{name}_fc1")(flat)
+            y = nn.LayerNorm(dtype=self.dtype, name=f"{name}_ln")(y)
             y = swish(y)
+            # heads emit float32: mu/logvar feed clamps, KL, reparam noise
             return nn.Dense(self.latent_dim, kernel_init=kaiming_init,
-                            name=f"{name}_fc2")(y)
+                            name=f"{name}_fc2")(y.astype(jnp.float32))
 
         return head("mu"), head("logvar")
 
@@ -71,21 +76,23 @@ class Decoder(nn.Module):
     channels: tuple = (64, 128, 256, 512)  # mirror of the encoder widths
     head_width: int = 512
     base_size: int = 8  # spatial size of the deepest feature map
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
         deep = self.channels[-1]
-        h = nn.Dense(self.head_width, kernel_init=kaiming_init, name="fc1")(z)
-        h = nn.LayerNorm(name="fc1_ln")(h)
+        h = nn.Dense(self.head_width, kernel_init=kaiming_init,
+                     dtype=self.dtype, name="fc1")(z)
+        h = nn.LayerNorm(dtype=self.dtype, name="fc1_ln")(h)
         h = swish(h)
         h = nn.Dense(deep * self.base_size**2, kernel_init=kaiming_init,
-                     name="fc2")(h)
-        h = nn.LayerNorm(name="fc2_ln")(h)
+                     dtype=self.dtype, name="fc2")(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="fc2_ln")(h)
         h = swish(h)
         h = h.reshape(-1, self.base_size, self.base_size, deep)
 
         n_ups = len(self.channels) - 1
-        h = ResidualBlock(deep, name=f"res{n_ups}")(h)
+        h = ResidualBlock(deep, dtype=self.dtype, name=f"res{n_ups}")(h)
         for i in range(n_ups, 0, -1):
             ch = self.channels[i - 1]
             # GroupNorm group counts follow the reference's ch/8 rule
@@ -94,20 +101,23 @@ class Decoder(nn.Module):
             # kernel 4 / stride 2 / SAME == torch ConvTranspose2d(k=4,s=2,p=1):
             # exact 2x spatial upsampling.
             h = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), padding="SAME",
-                                 kernel_init=kaiming_init, name=f"up{i}_conv")(h)
-            h = nn.GroupNorm(num_groups=groups, name=f"up{i}_gn")(h)
+                                 dtype=self.dtype, kernel_init=kaiming_init,
+                                 name=f"up{i}_conv")(h)
+            h = nn.GroupNorm(num_groups=groups, dtype=self.dtype,
+                             name=f"up{i}_gn")(h)
             h = swish(h)
             if i > 1:
-                h = ResidualBlock(ch, name=f"res{i - 1}")(h)
+                h = ResidualBlock(ch, dtype=self.dtype, name=f"res{i - 1}")(h)
 
         mid = max(4, self.channels[0] // 2)  # 32 at reference width (v1:273)
-        h = nn.Conv(mid, (3, 3), padding="SAME", kernel_init=kaiming_init,
-                    name="final_conv1")(h)
-        h = nn.GroupNorm(num_groups=max(1, mid // 4), name="final_gn")(h)
+        h = nn.Conv(mid, (3, 3), padding="SAME", dtype=self.dtype,
+                    kernel_init=kaiming_init, name="final_conv1")(h)
+        h = nn.GroupNorm(num_groups=max(1, mid // 4), dtype=self.dtype,
+                         name="final_gn")(h)
         h = swish(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=kaiming_init, name="final_conv2")(h)
-        return jax.nn.sigmoid(h)
+        return jax.nn.sigmoid(h.astype(jnp.float32))
 
 
 class LatentClassifier(nn.Module):
@@ -138,12 +148,14 @@ class FlowerVAE(nn.Module):
     channels: tuple = (64, 128, 256, 512)
     head_width: int = 512
     base_size: int = 8
+    dtype: Any = None  # compute dtype for the conv stacks (params float32)
 
     def setup(self):
         self.encoder = Encoder(self.in_channels, self.latent_dim,
-                               self.channels, self.head_width)
+                               self.channels, self.head_width, self.dtype)
         self.decoder = Decoder(self.latent_dim, self.in_channels,
-                               self.channels, self.head_width, self.base_size)
+                               self.channels, self.head_width, self.base_size,
+                               self.dtype)
         self.classifier = LatentClassifier(self.num_classes)
 
     @staticmethod

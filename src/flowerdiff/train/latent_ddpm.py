@@ -46,6 +46,7 @@ class LatentDiffusionConfig:
     dropout_rate: float = 0.3
     shared_cond_proj: bool = True
     global_skip: bool = False  # True for the v2 preset
+    compute_dtype: str = "float32"
 
 
 def create_latent_diffusion_state(
@@ -60,6 +61,7 @@ def create_latent_diffusion_state(
         dropout_rate=cfg.dropout_rate,
         shared_cond_proj=cfg.shared_cond_proj,
         global_skip=cfg.global_skip,
+        dtype=None if cfg.compute_dtype == "float32" else getattr(jnp, cfg.compute_dtype),
     )
     dummy_z = jnp.zeros((1, cfg.latent_dim), jnp.float32)
     dummy_t = jnp.zeros((1,), jnp.int32)

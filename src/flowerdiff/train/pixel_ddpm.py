@@ -27,6 +27,7 @@ class PixelDiffusionConfig:
     base_channels: int = 64
     time_emb_dim: int = 128
     learnable_residual: bool = False  # True for the v5 preset (v5:54,144)
+    compute_dtype: str = "float32"
 
 
 def create_pixel_diffusion_state(
@@ -36,6 +37,7 @@ def create_pixel_diffusion_state(
         base_channels=cfg.base_channels,
         time_emb_dim=cfg.time_emb_dim,
         learnable_residual=cfg.learnable_residual,
+        dtype=None if cfg.compute_dtype == "float32" else getattr(jnp, cfg.compute_dtype),
     )
     dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
     params = model.init(rng, dummy, jnp.zeros((1,), jnp.int32))["params"]

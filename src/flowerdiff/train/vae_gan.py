@@ -68,6 +68,7 @@ class VAEGANConfig:
     latent_dim: int = 256
     channels: tuple = (64, 128, 256, 512)  # encoder/decoder widths (v1:185-208)
     head_width: int = 512
+    compute_dtype: str = "float32"  # "bfloat16" for mixed-precision training
 
 
 class VAEGANState(struct.PyTreeNode):
@@ -87,11 +88,14 @@ def create_vae_gan_state(
     disc: Optional[Discriminator64] = None,
     img_size: int = 64,
 ) -> tuple[VAEGANState, FlowerVAE, Discriminator64]:
+    import jax.numpy as _jnp
+
+    dtype = None if cfg.compute_dtype == "float32" else getattr(_jnp, cfg.compute_dtype)
     vae = vae or FlowerVAE(
         latent_dim=cfg.latent_dim, num_classes=cfg.num_classes,
-        channels=tuple(cfg.channels), head_width=cfg.head_width,
+        channels=tuple(cfg.channels), head_width=cfg.head_width, dtype=dtype,
     )
-    disc = disc or Discriminator64()
+    disc = disc or Discriminator64(dtype=dtype)
     g_key, d_key, z_key = jax.random.split(rng, 3)
     dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     g_params = vae.init({"params": g_key}, dummy, z_key, method=FlowerVAE.init_all)[

@@ -127,3 +127,36 @@ def test_pixel_unet_time_conditioning_matters():
     a = unet.apply(params, x, jnp.array([0]))
     b = unet.apply(params, x, jnp.array([900]))
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_compute_dtype():
+    """Mixed precision: params stay float32, bf16 compute stays close to the
+    f32 forward, and the epsilon/mu/logvar heads emit float32."""
+    vae16 = FlowerVAE(latent_dim=16, num_classes=7, dtype=jnp.bfloat16, **TINY)
+    vae32 = FlowerVAE(latent_dim=16, num_classes=7, **TINY)
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    params = vae32.init({"params": jax.random.key(1)}, x, jax.random.key(2),
+                        method=FlowerVAE.init_all)
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
+
+    r32, mu32, lv32, _ = vae32.apply(params, x, jax.random.key(3))
+    r16, mu16, lv16, _ = vae16.apply(params, x, jax.random.key(3))
+    assert mu16.dtype == jnp.float32 and r16.dtype == jnp.float32
+    assert float(jnp.abs(r16 - r32).max()) < 0.1  # sigmoid-scale outputs
+    assert float(jnp.abs(mu16 - mu32).max()) < 0.35 * float(jnp.abs(mu32).max() + 1)
+
+    den16 = ConditionalLatentDenoiser(
+        latent_dim=16, hidden_dims=(16, 32, 16), time_emb_dim=16,
+        num_classes=7, dtype=jnp.bfloat16,
+    )
+    den32 = ConditionalLatentDenoiser(
+        latent_dim=16, hidden_dims=(16, 32, 16), time_emb_dim=16, num_classes=7,
+    )
+    z = jax.random.normal(jax.random.key(4), (2, 16))
+    t, c = jnp.array([1, 40]), jnp.array([0, 3])
+    dp = den32.init(jax.random.key(5), z, t, c)
+    o32 = den32.apply(dp, z, t, c)
+    o16 = den16.apply(dp, z, t, c)
+    assert o16.dtype == jnp.float32
+    scale = float(jnp.abs(o32).max())
+    assert float(jnp.abs(o16 - o32).max()) < 5e-2 * scale
