@@ -59,13 +59,15 @@ def measure_ours(batch=50, n_steps=1000, latent=256, repeats=3):
     sched = linear_schedule(n_steps)
     prep = prepare_fused_sampler(model, params)
 
+    # NB: params must be jit ARGUMENTS — closing over them bakes hundreds of
+    # MB of weights in as XLA constants (minutes of compile, ~30ms/call).
     decode = jax.jit(
-        lambda z: vae.apply(vae_params, z, method=FlowerVAE.decode)
+        lambda vp, z: vae.apply(vp, z, method=FlowerVAE.decode)
     )
 
     def pipeline(key):
         z = fused_sample(model, params, sched, key, batch, classes, prep=prep)
-        return decode(z)
+        return decode(vae_params, z)
 
     _log("compiling sampling pipeline (fused Pallas sampler)...")
     t_compile = time.perf_counter()

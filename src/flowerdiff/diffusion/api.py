@@ -1,0 +1,167 @@
+"""Jit-compiled sampling facade.
+
+Everything downstream (viz, runner, serving, bench) samples through a
+`DiffusionSampler`: a thin object holding (model, params, schedule) whose
+methods are jit-compiled WITH THE PARAMS AS ARGUMENTS. This matters twice:
+
+  - closing over a parameter tree inside jit turns it into XLA constants:
+    measured on the VAE decoder, that is ~480s of extra compile time and a
+    ~400x slower executable (weights re-staged per call);
+  - an un-jitted `lax.scan` with closed-over params re-traces whenever the
+    params object changes — i.e. a full recompile at every visualization
+    cadence during training.
+
+The compiled programs are cached per (model config, schedule spec, event
+shape) — constructing a fresh sampler for updated params (every viz cadence)
+reuses the executables.
+
+`FusedDiffusionSampler` swaps the ancestral `sample` for the whole-process
+Pallas kernel (kernels/full_sampler.py) where available; all other paths
+fall back to the XLA scan.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flowerdiff.diffusion.ddpm import p_sample
+from flowerdiff.diffusion.sampler import (
+    ddim_sample,
+    sample as _sample_impl,
+    sample_with_trajectory as _traj_impl,
+)
+from flowerdiff.diffusion.schedule import DiffusionSchedule, linear_schedule
+
+
+def _masked_scan(sched, eps_fn, rng, x_init, t_start, *cond):
+    """Shared full-length scan where chain i only updates once t <= t_start_i."""
+
+    def step(carry, t):
+        x, key = carry
+        key, nkey = jax.random.split(key)
+        t_vec = jnp.full((x.shape[0],), t, jnp.int32)
+        eps_theta = eps_fn(x, t_vec, *cond)
+        noise = jax.random.normal(nkey, x.shape, dtype=x.dtype)
+        new_x = p_sample(sched, x, t_vec, eps_theta, noise)
+        active = (t <= t_start).reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+        return (x * (1 - active) + new_x * active, key), None
+
+    timesteps = jnp.arange(sched.n_steps - 1, -1, -1, dtype=jnp.int32)
+    (x, _), _ = jax.lax.scan(step, (x_init, rng), timesteps)
+    return x
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled(model, sched_spec: tuple, event_shape: tuple):
+    """Build (and cache) the jitted sampling programs for a model/schedule/
+    shape combination. The schedule is reconstructed from its spec so the
+    cache key stays hashable; its small tables become jit constants."""
+    n_steps, beta_start, beta_end = sched_spec
+    sched = linear_schedule(n_steps, beta_start, beta_end)
+
+    def eps(p, x, t, *cond):
+        return model.apply(p, x, t, *cond)
+
+    @functools.partial(jax.jit, static_argnames=("batch",))
+    def sample_jit(p, key, batch, *cond):
+        return _sample_impl(
+            sched, functools.partial(eps, p), key, (batch,) + event_shape, *cond
+        )
+
+    @jax.jit
+    def masked_jit(p, key, x_init, t_start_vec, *cond):
+        return _masked_scan(
+            sched, functools.partial(eps, p), key, x_init, t_start_vec, *cond
+        )
+
+    @functools.partial(jax.jit, static_argnames=("batch",))
+    def traj_jit(p, key, batch, *cond):
+        return _traj_impl(
+            sched, functools.partial(eps, p), key, (batch,) + event_shape, *cond
+        )
+
+    @functools.partial(jax.jit, static_argnames=("batch", "num_steps"))
+    def ddim_jit(p, key, batch, num_steps, *cond):
+        return ddim_sample(
+            sched, functools.partial(eps, p), key, (batch,) + event_shape,
+            *cond, num_steps=num_steps,
+        )
+
+    eps_jit = jax.jit(eps)
+    return sample_jit, masked_jit, traj_jit, ddim_jit, eps_jit
+
+
+class DiffusionSampler:
+    """Sampling entry points for one (model, params, schedule) triple.
+
+    `event_shape` is the per-sample state shape: (latent_dim,) for the latent
+    pipeline, (H, W, C) for the pixel pipeline. Conditioning is variadic —
+    () for the pixel model, (classes,) for v1/v2, (classes, colors) for v3.
+    """
+
+    def __init__(
+        self,
+        model,
+        params: dict,
+        sched: DiffusionSchedule,
+        event_shape: Tuple[int, ...],
+    ):
+        self.model = model
+        self.params = params if "params" in params else {"params": params}
+        self.sched = sched
+        self.event_shape = tuple(event_shape)
+        spec = (sched.n_steps, float(sched.beta[0]), float(sched.beta[-1]))
+        (self._sample_jit, self._masked_jit, self._traj_jit, self._ddim_jit,
+         self._eps_jit) = _compiled(model, spec, self.event_shape)
+
+    def sample(self, rng: jax.Array, batch: int, *cond) -> jax.Array:
+        """Full ancestral sampling (v1:594-598) in one compiled program."""
+        return self._sample_jit(self.params, rng, batch, *cond)
+
+    def sample_from(self, rng, x_t, t_start: int, *cond) -> jax.Array:
+        """Denoise x_t from `t_start` down to 0."""
+        t_vec = jnp.full((x_t.shape[0],), t_start, jnp.int32)
+        return self._masked_jit(self.params, rng, x_t, t_vec, *cond)
+
+    def masked_denoise(self, rng, x_init, t_start_vec, *cond) -> jax.Array:
+        """Per-chain start times in one shared scan (viz/denoise_path.py)."""
+        return self._masked_jit(self.params, rng, x_init, t_start_vec, *cond)
+
+    def sample_with_trajectory(self, rng, batch: int, *cond):
+        return self._traj_jit(self.params, rng, batch, *cond)
+
+    def ddim(self, rng, batch: int, *cond, num_steps: int = 50) -> jax.Array:
+        return self._ddim_jit(self.params, rng, batch, num_steps, *cond)
+
+    def eps(self, x, t, *cond) -> jax.Array:
+        """Single jitted denoiser evaluation."""
+        return self._eps_jit(self.params, x, t, *cond)
+
+    @property
+    def latent_dim(self) -> int:
+        assert len(self.event_shape) == 1
+        return self.event_shape[0]
+
+
+class FusedDiffusionSampler(DiffusionSampler):
+    """DiffusionSampler whose `sample` uses the whole-process Pallas kernel
+    (latent pipeline only; ~30x the XLA scan at small batches)."""
+
+    def __init__(self, model, params, sched, event_shape, interpret=None):
+        super().__init__(model, params, sched, event_shape)
+        from flowerdiff.kernels.full_sampler import prepare_fused_sampler
+
+        self._prep = prepare_fused_sampler(model, self.params)
+        self._interpret = interpret
+
+    def sample(self, rng, batch: int, *cond) -> jax.Array:
+        from flowerdiff.kernels.full_sampler import fused_sample
+
+        color = cond[1] if len(cond) > 1 else None
+        return fused_sample(
+            self.model, self.params, self.sched, rng, batch, cond[0],
+            color=color, prep=self._prep, interpret=self._interpret,
+        )

@@ -36,6 +36,27 @@ from flowerdiff.viz.grids import generate_pixel_samples_grid
 from flowerdiff.viz.animation import create_pixel_diffusion_animation
 
 
+class _CondAdapter:
+    """Presents a (classes,)-conditioned interface over a v3 dual-condition
+    sampler by appending a default color label (the class-only viz calls of
+    the v1-parity sweep)."""
+
+    def __init__(self, sampler, default_color: int = 0):
+        self._sampler = sampler
+        self._color = default_color
+        self.sched = sampler.sched
+        self.event_shape = sampler.event_shape
+        self.latent_dim = sampler.latent_dim
+
+    def sample(self, rng, batch, classes):
+        colors = jnp.full((batch,), self._color, jnp.int32)
+        return self._sampler.sample(rng, batch, classes, colors)
+
+    def masked_denoise(self, rng, x_init, t_start, classes):
+        colors = jnp.full((x_init.shape[0],), self._color, jnp.int32)
+        return self._sampler.masked_denoise(rng, x_init, t_start, classes, colors)
+
+
 class PipelineRunner:
     def __init__(
         self,
@@ -242,14 +263,15 @@ class PipelineRunner:
                     preset.pixel_visualize_every
                     and (epoch + 1) % preset.pixel_visualize_every == 0
                 ):  # v5:268-273
+                    sampler = trainer.sampler()
                     generate_pixel_samples_grid(
-                        trainer.eps_fn(), trainer.sched, preset.img_size,
+                        sampler,
                         save_path=os.path.join(
                             self.results_dir, f"samples_grid_epoch_{epoch}.png"
                         ),
                     )
                     create_pixel_diffusion_animation(
-                        trainer.eps_fn(), trainer.sched, preset.img_size,
+                        sampler,
                         save_path=os.path.join(
                             self.results_dir, f"diffusion_animation_epoch_{epoch}.gif"
                         ),
@@ -257,12 +279,13 @@ class PipelineRunner:
             ckpt.save(epochs, {"params": trainer.state.params})
 
         # Final artifacts (v4:272-286).
+        sampler = trainer.sampler()
         generate_pixel_samples_grid(
-            trainer.eps_fn(), trainer.sched, preset.img_size,
+            sampler,
             save_path=os.path.join(self.results_dir, "samples_grid.png"),
         )
         create_pixel_diffusion_animation(
-            trainer.eps_fn(), trainer.sched, preset.img_size,
+            sampler,
             save_path=os.path.join(self.results_dir, "diffusion_animation.gif"),
         )
         return trainer
@@ -272,26 +295,33 @@ class PipelineRunner:
     # ------------------------------------------------------------------ #
 
     def _vae_fns(self, vae: FlowerVAE, params):
-        decode_fn = jax.jit(
-            lambda z: vae.apply({"params": params}, z, method=FlowerVAE.decode)
+        # Params are jit ARGUMENTS (python-side partial application): closing
+        # over a 69M-param tree bakes it into the executable as constants —
+        # ~30x slower calls and minutes of extra compile time (measured).
+        decode_jit = jax.jit(
+            lambda p, z: vae.apply({"params": p}, z, method=FlowerVAE.decode)
         )
 
         @jax.jit
-        def encode_mu_fn(x):
+        def encode_mu_jit(p, x):
             mu, _ = vae.apply(
-                {"params": params}, x, method=FlowerVAE.encode_with_params
+                {"params": p}, x, method=FlowerVAE.encode_with_params
             )
             return mu
 
         @jax.jit
-        def encode_decode_fn(x, rng):
+        def encode_decode_jit(p, x, rng):
             mu, logvar = vae.apply(
-                {"params": params}, x, method=FlowerVAE.encode_with_params
+                {"params": p}, x, method=FlowerVAE.encode_with_params
             )
             z = FlowerVAE.reparameterize(rng, mu, logvar)
-            return vae.apply({"params": params}, z, method=FlowerVAE.decode)
+            return vae.apply({"params": p}, z, method=FlowerVAE.decode)
 
-        return decode_fn, encode_mu_fn, encode_decode_fn
+        return (
+            lambda z: decode_jit(params, z),
+            lambda x: encode_mu_jit(params, x),
+            lambda x, rng: encode_decode_jit(params, x, rng),
+        )
 
     def _recon_psnr(self, encode_decode_fn, n: int = 64) -> float:
         imgs = self.test_images[:n]
@@ -311,24 +341,19 @@ class PipelineRunner:
             epoch, self.class_names, self.results_dir, max_points=2000,
         )
 
-    def _epoch_eps_fn(self, diff: LatentDiffusionTrainer):
+    def _viz_cond(self, n: int):
+        """v3 samplers need a color condition for the class-only viz calls —
+        default to color 0, broadcast per sample (v1-parity calls carry no
+        color)."""
         if self.preset.latent.num_colors is not None:
-            base = diff.eps_fn()
-            default_color = jnp.zeros((), jnp.int32)
-
-            def eps_fn(x, t, c, color=None):
-                if color is None:
-                    color = jnp.zeros_like(c)
-                return base(x, t, c, color)
-
-            return eps_fn
-        return diff.eps_fn()
+            return jnp.zeros((n,), jnp.int32)
+        return None
 
     def _diffusion_viz(self, diff, decode_fn, encode_mu_fn, epoch: int):
         """Per-cadence artifacts: first 2 classes for v1/v2 (v1:1273-1281);
         classes [4, 53, 68] plus purple/yellow color grids for v3
         (v3:1572-1583)."""
-        eps_fn = self._epoch_eps_fn(diff)
+        sampler = diff.sampler()
         is_v3 = self.preset.latent.num_colors is not None
         if is_v3:
             from flowerdiff.viz.color_viz import generate_class_color_samples
@@ -338,9 +363,7 @@ class PipelineRunner:
                 name = self.class_names[class_idx]
                 for color in ("purple", "yellow"):
                     generate_class_color_samples(
-                        diff.eps_fn(), decode_fn, diff.sched, class_idx, color,
-                        self.class_names,
-                        latent_dim=self.preset.latent.latent_dim,
+                        sampler, decode_fn, class_idx, color, self.class_names,
                         save_path=os.path.join(
                             self.results_dir,
                             f"sample_class_color_{name}_{color}_epoch_{epoch}.png",
@@ -351,25 +374,25 @@ class PipelineRunner:
         for class_idx in class_list:
             name = self.class_names[class_idx]
             viz.create_diffusion_animation(
-                eps_fn, decode_fn, diff.sched, class_idx, self.class_names,
-                latent_dim=self.preset.latent.latent_dim,
+                sampler, decode_fn, class_idx, self.class_names,
+                extra_cond=self._viz_cond(1),
                 save_path=os.path.join(
                     self.results_dir,
                     f"diffusion_animation_class_{name}_epoch_{epoch}.gif",
                 ),
             )
             viz.generate_class_samples(
-                eps_fn, decode_fn, diff.sched, class_idx, self.class_names,
-                latent_dim=self.preset.latent.latent_dim,
+                sampler, decode_fn, class_idx, self.class_names,
+                extra_cond=self._viz_cond(5),
                 save_path=os.path.join(
                     self.results_dir, f"sample_class_{name}_epoch_{epoch}.png"
                 ),
             )
             viz.visualize_denoising_steps(
-                encode_mu_fn, decode_fn, eps_fn, diff.sched,
+                encode_mu_fn, decode_fn, sampler,
                 self.test_images, np.asarray(self.test_labels),
                 class_idx, self.class_names,
-                latent_dim=self.preset.latent.latent_dim,
+                extra_cond=self._viz_cond(40),
                 save_path=os.path.join(
                     self.results_dir, f"denoising_path_{name}_epoch_{epoch}.png"
                 ),
@@ -377,25 +400,29 @@ class PipelineRunner:
 
     def _final_sweep(self, diff, decode_fn, encode_mu_fn):
         """Sample grid + 10 denoising paths + 10 GIFs (v1:1406-1429)."""
-        eps_fn = self._epoch_eps_fn(diff)
+        sampler = diff.sampler()
+        is_v3 = self.preset.latent.num_colors is not None
+        if is_v3:
+            # the grid path conditions on class only; give v3 a default color
+            from flowerdiff.viz.color_viz import generate_class_color_samples  # noqa: F401
         viz.generate_samples_grid(
-            eps_fn, decode_fn, diff.sched, self.class_names,
-            latent_dim=self.preset.latent.latent_dim, save_dir=self.results_dir,
+            _CondAdapter(sampler) if is_v3 else sampler, decode_fn,
+            self.class_names, save_dir=self.results_dir,
         )
         for class_idx in range(min(len(self.class_names), 10)):
             name = self.class_names[class_idx]
             viz.visualize_denoising_steps(
-                encode_mu_fn, decode_fn, eps_fn, diff.sched,
+                encode_mu_fn, decode_fn, sampler,
                 self.test_images, np.asarray(self.test_labels),
                 class_idx, self.class_names,
-                latent_dim=self.preset.latent.latent_dim,
+                extra_cond=self._viz_cond(40),
                 save_path=os.path.join(
                     self.results_dir, f"denoising_path_{name}_final.png"
                 ),
             )
             viz.create_diffusion_animation(
-                eps_fn, decode_fn, diff.sched, class_idx, self.class_names,
-                latent_dim=self.preset.latent.latent_dim, fps=15,
+                sampler, decode_fn, class_idx, self.class_names, fps=15,
+                extra_cond=self._viz_cond(1),
                 save_path=os.path.join(
                     self.results_dir, f"diffusion_animation_{name}_final.gif"
                 ),

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from flowerdiff.diffusion import DiffusionSchedule, linear_schedule
-from flowerdiff.kernels.full_sampler import fused_sample, prepare_fused_sampler
+from flowerdiff.diffusion.api import DiffusionSampler, FusedDiffusionSampler
 from flowerdiff.models.latent_unet import ConditionalLatentDenoiser
 from flowerdiff.models.vae import FlowerVAE
 
@@ -41,11 +41,17 @@ class SamplingService:
         if use_fused is None:
             use_fused = jax.default_backend() == "tpu"
         self.use_fused = use_fused
-        self.prep = prepare_fused_sampler(model, params) if use_fused else None
-        vp = vae_params if "params" in vae_params else {"params": vae_params}
-        self._decode = jax.jit(
-            lambda z: vae.apply(vp, z, method=FlowerVAE.decode)
+        cls = FusedDiffusionSampler if use_fused else DiffusionSampler
+        self.sampler = cls(model, params, self.sched, (model.latent_dim,))
+        self._vae_params = (
+            vae_params if "params" in vae_params else {"params": vae_params}
         )
+        # params as jit arguments (closure constants would be re-staged per
+        # call and blow up compile time)
+        self._decode_jit = jax.jit(
+            lambda vp, z: vae.apply(vp, z, method=FlowerVAE.decode)
+        )
+        self._decode = lambda z: self._decode_jit(self._vae_params, z)
 
     def sample_latents(
         self,
@@ -53,24 +59,8 @@ class SamplingService:
         rng: jax.Array,
         colors: Optional[jax.Array] = None,
     ) -> jax.Array:
-        batch = classes.shape[0]
-        if self.use_fused:
-            return fused_sample(
-                self.model, self.params, self.sched, rng, batch, classes,
-                color=colors, prep=self.prep,
-            )
-        from flowerdiff.diffusion import sample
-
-        def eps_fn(x, t, *cond):
-            return self.model.apply(
-                self.params if "params" in self.params else {"params": self.params},
-                x, t, *cond,
-            )
-
         cond = (classes,) if colors is None else (classes, colors)
-        return sample(
-            self.sched, eps_fn, rng, (batch, self.model.latent_dim), *cond
-        )
+        return self.sampler.sample(rng, classes.shape[0], *cond)
 
     def sample_classes(
         self,

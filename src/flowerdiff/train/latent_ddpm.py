@@ -148,6 +148,14 @@ class LatentDiffusionTrainer:
             count += 1
         return float(total) / count
 
+    def sampler(self, fused: bool = False):
+        """Jitted sampling facade over the current params (diffusion/api.py)."""
+        from flowerdiff.diffusion.api import DiffusionSampler, FusedDiffusionSampler
+
+        cls = FusedDiffusionSampler if fused else DiffusionSampler
+        return cls(self.model, {"params": self.state.params}, self.sched,
+                   (self.cfg.latent_dim,))
+
     def eps_fn(self, params=None, deterministic: bool = True):
         params = self.state.params if params is None else params
 

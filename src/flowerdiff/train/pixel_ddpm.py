@@ -80,6 +80,14 @@ class PixelDiffusionTrainer:
             count += 1
         return float(total) / count
 
+    def sampler(self):
+        from flowerdiff.diffusion.api import DiffusionSampler
+
+        return DiffusionSampler(
+            self.model, {"params": self.state.params}, self.sched,
+            (self.cfg.img_size, self.cfg.img_size, 3),
+        )
+
     def eps_fn(self, params=None):
         params = self.state.params if params is None else params
 

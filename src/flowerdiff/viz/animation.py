@@ -24,18 +24,14 @@ import io
 import os
 from typing import Optional, Sequence
 
-import imageio
+import imageio.v2 as imageio
 import jax
 import jax.numpy as jnp
 import matplotlib.pyplot as plt
 import numpy as np
 
-from flowerdiff.diffusion import (
-    DiffusionSchedule,
-    q_sample,
-    sample,
-    sample_with_trajectory,
-)
+from flowerdiff.diffusion import q_sample
+from flowerdiff.diffusion.api import DiffusionSampler
 
 
 def _pingpong_timesteps(n_steps: int, num_frames: int) -> list[int]:
@@ -65,12 +61,10 @@ def _render_frame(img: np.ndarray, title: str) -> np.ndarray:
 
 
 def create_diffusion_animation(
-    eps_fn,
+    sampler: DiffusionSampler,
     decode_fn,
-    sched: DiffusionSchedule,
     class_idx,
     class_names: Sequence[str],
-    latent_dim: int = 256,
     num_frames: int = 50,
     seed: int = 42,
     save_path: Optional[str] = None,
@@ -84,13 +78,15 @@ def create_diffusion_animation(
         os.makedirs("./results", exist_ok=True)
         save_path = f"./results/diffusion_animation_{class_names[class_idx]}.gif"
 
+    sched = sampler.sched
+    latent_dim = sampler.latent_dim
     key = jax.random.key(seed)
     sample_key, noise_key = jax.random.split(key)
     classes = jnp.array([class_idx], jnp.int32)
     cond = (classes,) if extra_cond is None else (classes, extra_cond)
 
-    # 1. One scan to a clean latent (v1:922-926).
-    clean = sample(sched, eps_fn, sample_key, (1, latent_dim), *cond)
+    # 1. One compiled reverse process to a clean latent (v1:922-926).
+    clean = sampler.sample(sample_key, 1, *cond)
 
     # 2. All frames re-noised in ONE vectorized q_sample with a single fixed
     #    eps (v1:930-934 reseeds to get the same eps every frame).
@@ -127,9 +123,7 @@ def create_diffusion_animation(
 
 
 def create_pixel_diffusion_animation(
-    eps_fn,
-    sched: DiffusionSchedule,
-    img_size: int = 64,
+    sampler: DiffusionSampler,
     num_frames: int = 50,
     save_path: str = "diffusion_animation.gif",
     fps: int = 10,
@@ -137,9 +131,8 @@ def create_pixel_diffusion_animation(
 ) -> str:
     """Pixel-space animation from one trajectory capture (v4:225-234)."""
     rng = jax.random.key(0) if rng is None else rng
-    _, traj = sample_with_trajectory(
-        sched, eps_fn, rng, (1, img_size, img_size, 3)
-    )
+    sched = sampler.sched
+    _, traj = sampler.sample_with_trajectory(rng, 1)
     step_interval = max(1, sched.n_steps // num_frames)
     capture = sorted(set(range(0, sched.n_steps, step_interval)) | {0})
     # trajectory index i holds the state after the step at t = n_steps-1-i.

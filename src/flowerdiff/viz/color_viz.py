@@ -25,7 +25,7 @@ from flowerdiff.data.color_labels import (
     COLOR_NAMES,
     extract_color_category,
 )
-from flowerdiff.diffusion import DiffusionSchedule, sample
+from flowerdiff.diffusion.api import DiffusionSampler
 
 
 def create_flower_color_visualization(
@@ -74,19 +74,17 @@ def create_flower_color_visualization(
 
 
 def generate_class_color_samples(
-    eps_fn,
+    sampler: DiffusionSampler,
     decode_fn,
-    sched: DiffusionSchedule,
     target_class,
     target_color,
     class_names: Sequence[str],
-    latent_dim: int = 256,
     num_samples: int = 5,
     save_path: Optional[str] = None,
     rng: Optional[jax.Array] = None,
 ):
     """Samples conditioned on (class, color), names or indices (v3:1175-1234).
-    One batched sampling scan."""
+    One compiled batched sampling program."""
     rng = jax.random.key(0) if rng is None else rng
     if isinstance(target_class, str):
         target_class = list(class_names).index(target_class)
@@ -95,7 +93,7 @@ def generate_class_color_samples(
 
     classes = jnp.full((num_samples,), int(target_class), jnp.int32)
     colors = jnp.full((num_samples,), int(target_color), jnp.int32)
-    latents = sample(sched, eps_fn, rng, (num_samples, latent_dim), classes, colors)
+    latents = sampler.sample(rng, num_samples, classes, colors)
     samples = np.asarray(decode_fn(latents))
 
     if save_path:

@@ -22,53 +22,28 @@ import jax.numpy as jnp
 import matplotlib.pyplot as plt
 import numpy as np
 
-from flowerdiff.diffusion import DiffusionSchedule
-from flowerdiff.diffusion.ddpm import p_sample
+from flowerdiff.diffusion.api import DiffusionSampler
 from flowerdiff.viz.latent_plots import encode_split, pca_projection
-
-
-def masked_denoise_from(
-    sched: DiffusionSchedule,
-    eps_fn,
-    rng: jax.Array,
-    x_init: jax.Array,  # (B, D) initial noise per chain
-    t_start: jax.Array,  # (B,) start timestep per chain
-    *cond: jax.Array,
-) -> jax.Array:
-    """Denoise chain i from its own t_start_i to 0 in one shared scan."""
-
-    def step(carry, t):
-        x, key = carry
-        key, nkey = jax.random.split(key)
-        t_vec = jnp.full((x.shape[0],), t, jnp.int32)
-        eps_theta = eps_fn(x, t_vec, *cond)
-        noise = jax.random.normal(nkey, x.shape, dtype=x.dtype)
-        new_x = p_sample(sched, x, t_vec, eps_theta, noise)
-        active = (t <= t_start)[:, None].astype(x.dtype)
-        return (x * (1 - active) + new_x * active, key), None
-
-    timesteps = jnp.arange(sched.n_steps - 1, -1, -1, dtype=jnp.int32)
-    (x, _), _ = jax.lax.scan(step, (x_init, rng), timesteps)
-    return x
 
 
 def visualize_denoising_steps(
     encode_mu_fn,
     decode_fn,
-    eps_fn,
-    sched: DiffusionSchedule,
+    sampler: DiffusionSampler,
     test_images: jax.Array,
     test_labels: np.ndarray,
     class_idx: int,
     class_names: Sequence[str],
-    latent_dim: int = 256,
     save_path: Optional[str] = None,
     rng: Optional[jax.Array] = None,
     n_samples: int = 5,
     steps_to_show: int = 8,
+    extra_cond: Optional[jax.Array] = None,
 ) -> str:
     rng = jax.random.key(0) if rng is None else rng
     init_rng, scan_rng = jax.random.split(rng)
+    sched = sampler.sched
+    latent_dim = sampler.latent_dim
 
     # Host/sklearn projection of the full test split (v1:663-677).
     all_latents = encode_split(encode_mu_fn, test_images)
@@ -85,7 +60,8 @@ def visualize_denoising_steps(
     x_tiled = jnp.tile(x, (len(timesteps), 1))  # (8*5, D)
     t_start = jnp.repeat(jnp.asarray(timesteps, jnp.int32), n_samples)
     classes = jnp.full((len(timesteps) * n_samples,), class_idx, jnp.int32)
-    final = masked_denoise_from(sched, eps_fn, scan_rng, x_tiled, t_start, classes)
+    cond = (classes,) if extra_cond is None else (classes, extra_cond)
+    final = sampler.masked_denoise(scan_rng, x_tiled, t_start, *cond)
     decoded = np.asarray(decode_fn(final)).reshape(
         len(timesteps), n_samples, *np.asarray(decode_fn(final[:1])).shape[1:]
     )

@@ -15,18 +15,16 @@ import jax.numpy as jnp
 import matplotlib.pyplot as plt
 import numpy as np
 
-from flowerdiff.diffusion import DiffusionSchedule, sample
+from flowerdiff.diffusion.api import DiffusionSampler
 
 
 def visualize_latent_comparison(
     encode_decode_fn,
     decode_fn,
-    eps_fn,
-    sched: DiffusionSchedule,
+    sampler: DiffusionSampler,
     images: jax.Array,
     labels: np.ndarray,
     class_names: Sequence[str],
-    latent_dim: int = 256,
     save_path: str = "./results/latent_comparison.png",
     rng: Optional[jax.Array] = None,
     n: int = 8,
@@ -37,10 +35,7 @@ def visualize_latent_comparison(
     labels = np.asarray(labels)[:n]
 
     recon = np.asarray(encode_decode_fn(images, recon_rng))
-    latents = sample(
-        sched, eps_fn, sample_rng, (n, latent_dim),
-        jnp.asarray(labels, jnp.int32),
-    )
+    latents = sampler.sample(sample_rng, n, jnp.asarray(labels, jnp.int32))
     generated = np.asarray(decode_fn(latents))
 
     fig, axes = plt.subplots(3, n, figsize=(2 * n, 6.5))

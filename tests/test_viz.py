@@ -1,6 +1,7 @@
 """Visualization-suite smoke tests: every artifact-producing function runs
 end-to-end on tiny fakes and writes its file (the reference's de-facto test
-strategy, SURVEY.md §4, turned into actual tests)."""
+strategy, SURVEY.md §4, turned into actual tests). Uses a lightweight fake
+sampler implementing the DiffusionSampler interface."""
 import os
 
 import jax
@@ -13,6 +14,7 @@ from flowerdiff.viz import (
     create_diffusion_animation,
     create_flower_color_visualization,
     generate_class_samples,
+    generate_class_color_samples,
     generate_samples_grid,
     plot_loss_curves,
     plot_single_loss_curve,
@@ -28,8 +30,30 @@ LATENT = 8
 NAMES = [str(i) for i in range(12)]
 
 
-def eps_fn(x, t, *cond):
-    return 0.1 * x
+class FakeSampler:
+    """DiffusionSampler-compatible stub: deterministic pseudo-samples."""
+
+    def __init__(self, event_shape=(LATENT,)):
+        self.sched = SCHED
+        self.event_shape = tuple(event_shape)
+
+    @property
+    def latent_dim(self):
+        return self.event_shape[0]
+
+    def _draw(self, rng, batch):
+        return jax.random.normal(rng, (batch,) + self.event_shape) * 0.5
+
+    def sample(self, rng, batch, *cond):
+        return self._draw(rng, batch)
+
+    def masked_denoise(self, rng, x_init, t_start, *cond):
+        return x_init * 0.1
+
+    def sample_with_trajectory(self, rng, batch, *cond):
+        x = self._draw(rng, batch)
+        traj = jnp.stack([x * (i + 1) / SCHED.n_steps for i in range(SCHED.n_steps)])
+        return x, traj
 
 
 def decode_fn(z):
@@ -56,9 +80,9 @@ def fake_labels():
     return np.arange(40) % 12
 
 
-def test_samples_grid(tmp_path, fake_images):
+def test_samples_grid(tmp_path):
     path = generate_samples_grid(
-        eps_fn, decode_fn, SCHED, NAMES, latent_dim=LATENT,
+        FakeSampler(), decode_fn, NAMES,
         n_per_class=2, n_classes_vis=3, save_dir=str(tmp_path),
     )
     assert os.path.exists(path) and path.endswith("vae_samples_grid_subset.png")
@@ -67,15 +91,23 @@ def test_samples_grid(tmp_path, fake_images):
 def test_class_samples(tmp_path):
     path = str(tmp_path / "strip.png")
     samples = generate_class_samples(
-        eps_fn, decode_fn, SCHED, "3", NAMES, latent_dim=LATENT,
-        num_samples=2, save_path=path,
+        FakeSampler(), decode_fn, "3", NAMES, num_samples=2, save_path=path,
+    )
+    assert samples.shape[0] == 2 and os.path.exists(path)
+
+
+def test_class_color_samples(tmp_path):
+    path = str(tmp_path / "strip_color.png")
+    samples = generate_class_color_samples(
+        FakeSampler(), decode_fn, "3", "purple", NAMES, num_samples=2,
+        save_path=path,
     )
     assert samples.shape[0] == 2 and os.path.exists(path)
 
 
 def test_pixel_grid(tmp_path):
     path = generate_pixel_samples_grid(
-        eps_fn, SCHED, img_size=8, n_samples=4,
+        FakeSampler(event_shape=(8, 8, 3)), n_samples=4,
         save_path=str(tmp_path / "samples_grid.png"),
     )
     assert os.path.exists(path)
@@ -98,8 +130,8 @@ def test_latent_space_tsne(tmp_path, fake_images, fake_labels):
 
 def test_denoising_steps(tmp_path, fake_images, fake_labels):
     path = visualize_denoising_steps(
-        encode_mu_fn, decode_fn, eps_fn, SCHED, fake_images, fake_labels,
-        class_idx=1, class_names=NAMES, latent_dim=LATENT,
+        encode_mu_fn, decode_fn, FakeSampler(), fake_images, fake_labels,
+        class_idx=1, class_names=NAMES,
         save_path=str(tmp_path / "denoise.png"), n_samples=2, steps_to_show=3,
     )
     assert os.path.exists(path)
@@ -107,7 +139,7 @@ def test_denoising_steps(tmp_path, fake_images, fake_labels):
 
 def test_animation(tmp_path):
     path = create_diffusion_animation(
-        eps_fn, decode_fn, SCHED, 2, NAMES, latent_dim=LATENT, num_frames=4,
+        FakeSampler(), decode_fn, 2, NAMES, num_frames=4,
         save_path=str(tmp_path / "anim.gif"),
     )
     assert os.path.exists(path)
@@ -115,8 +147,8 @@ def test_animation(tmp_path):
 
 def test_latent_comparison(tmp_path, fake_images, fake_labels):
     path = visualize_latent_comparison(
-        encode_decode_fn, decode_fn, eps_fn, SCHED, fake_images, fake_labels,
-        NAMES, latent_dim=LATENT, save_path=str(tmp_path / "cmp.png"), n=4,
+        encode_decode_fn, decode_fn, FakeSampler(), fake_images, fake_labels,
+        NAMES, save_path=str(tmp_path / "cmp.png"), n=4,
     )
     assert os.path.exists(path)
 
