@@ -130,10 +130,23 @@ def make_vae_gan_step(
 ):
     """Build the jitted train step.
 
-    step(state, images, labels, gates, rng) -> (new_state, metrics)
+    step(state, images, labels, gates, rng, vgg_params) -> (new_state, metrics)
       gates: LossGates as a float32 vector of length 5.
+      vgg_params: frozen perceptual-backbone params passed as a jit ARGUMENT
+        (closing over them would bake them in as XLA constants).
     """
     use_vgg = cfg.use_perceptual and vgg is not None
+    if use_vgg:
+        from flowerdiff.models.vgg import IMAGENET_MEAN, IMAGENET_STD, VGGFeatures
+
+        vgg_model = VGGFeatures()
+
+        def perceptual_loss(vgg_params, x, y):
+            mean = jnp.asarray(IMAGENET_MEAN)
+            std = jnp.asarray(IMAGENET_STD)
+            fx = vgg_model.apply(vgg_params, (x - mean) / std)
+            fy = vgg_model.apply(vgg_params, (y - mean) / std)
+            return euclidean_distance_loss(fx, fy)
 
     def forward(g_params, images, reparam_rng, dropout_rng):
         recon, mu, logvar, z = vae.apply(
@@ -142,7 +155,7 @@ def make_vae_gan_step(
         )
         return recon, mu, logvar, z
 
-    def step(state: VAEGANState, images, labels, gates, rng):
+    def step(state: VAEGANState, images, labels, gates, rng, vgg_params):
         kl_weight, kl_factor, cls_factor, center_factor, do_update_centers = (
             gates[0], gates[1], gates[2], gates[3], gates[4],
         )
@@ -165,7 +178,7 @@ def make_vae_gan_step(
             recon, mu, logvar, z = forward(g_params, images, reparam_rng, dropout_rng)
             recon_loss = euclidean_distance_loss(recon, images)
             if use_vgg:
-                perceptual = vgg(recon, images)
+                perceptual = perceptual_loss(vgg_params, recon, images)
             else:
                 perceptual = jnp.float32(0.0)
             kl = kl_divergence(mu, logvar)
@@ -244,6 +257,7 @@ class VAEGANTrainer:
         if cfg.use_perceptual and vgg is None:
             vgg = VGGPerceptual()
         self.vgg = vgg
+        self.vgg_params = vgg.params if (cfg.use_perceptual and vgg) else None
         self.step_fn = make_vae_gan_step(self.vae, self.disc, cfg, vgg)
 
     def run_epoch(self, batches, epoch: int, num_epochs: int, rng: jax.Array):
@@ -260,7 +274,8 @@ class VAEGANTrainer:
         count = 0
         for i, (images, labels) in enumerate(batches):
             self.state, metrics = self.step_fn(
-                self.state, images, labels, gates, jax.random.fold_in(rng, i)
+                self.state, images, labels, gates, jax.random.fold_in(rng, i),
+                self.vgg_params,
             )
             totals = metrics if totals is None else jax.tree.map(
                 jnp.add, totals, metrics

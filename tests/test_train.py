@@ -102,7 +102,7 @@ def test_vae_gan_step_runs_and_updates(vae_gan_setup):
     old_gen = jax.tree.leaves(state.gen.params)[0].copy()
     old_disc = jax.tree.leaves(state.disc.params)[0].copy()
 
-    new_state, metrics = step(state, images, labels, gates, jax.random.key(2))
+    new_state, metrics = step(state, images, labels, gates, jax.random.key(2), None)
     for key in ("recon", "kl", "class", "center", "gan", "d_loss", "total"):
         assert np.isfinite(metrics[key]), key
     assert int(new_state.gen.step) == 1 and int(new_state.disc.step) == 1
@@ -122,7 +122,7 @@ def test_vae_gan_centers_frozen_early(vae_gan_setup):
     images = jax.random.uniform(jax.random.key(1), (4, 64, 64, 3))
     labels = jnp.array([0, 1, 2, 3])
     gates = gates_array(vae_gan_loss_gates(0, 300))  # recon-only stage
-    new_state, metrics = step(state, images, labels, gates, jax.random.key(2))
+    new_state, metrics = step(state, images, labels, gates, jax.random.key(2), None)
     np.testing.assert_array_equal(np.asarray(new_state.centers), 0.0)
 
 

@@ -62,7 +62,7 @@ def main():
         state, vae, disc = create_vae_gan_state(rng, cfg)
         step = make_vae_gan_step(vae, disc, cfg, vgg=None)
         gates = gates_array(vae_gan_loss_gates(200, 1200))
-        bench(step, (state, images, labels, gates, rng), "vae_gan (no vgg)")
+        bench(step, (state, images, labels, gates, rng, None), "vae_gan (no vgg)")
 
     if which in ("all", "latent_ddpm"):
         cfg = VAEGANConfig(total_steps=1000, use_perceptual=False)
