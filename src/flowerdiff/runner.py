@@ -341,19 +341,19 @@ class PipelineRunner:
             epoch, self.class_names, self.results_dir, max_points=2000,
         )
 
-    def _viz_cond(self, n: int):
-        """v3 samplers need a color condition for the class-only viz calls —
-        default to color 0, broadcast per sample (v1-parity calls carry no
-        color)."""
+    def _viz_sampler(self, diff):
+        """The class-only viz calls need a (classes,)-conditioned sampler;
+        v3's dual-condition model gets a default color via _CondAdapter."""
+        sampler = diff.sampler()
         if self.preset.latent.num_colors is not None:
-            return jnp.zeros((n,), jnp.int32)
-        return None
+            return sampler, _CondAdapter(sampler)
+        return sampler, sampler
 
     def _diffusion_viz(self, diff, decode_fn, encode_mu_fn, epoch: int):
         """Per-cadence artifacts: first 2 classes for v1/v2 (v1:1273-1281);
         classes [4, 53, 68] plus purple/yellow color grids for v3
         (v3:1572-1583)."""
-        sampler = diff.sampler()
+        raw_sampler, sampler = self._viz_sampler(diff)
         is_v3 = self.preset.latent.num_colors is not None
         if is_v3:
             from flowerdiff.viz.color_viz import generate_class_color_samples
@@ -363,7 +363,8 @@ class PipelineRunner:
                 name = self.class_names[class_idx]
                 for color in ("purple", "yellow"):
                     generate_class_color_samples(
-                        sampler, decode_fn, class_idx, color, self.class_names,
+                        raw_sampler, decode_fn, class_idx, color,
+                        self.class_names,
                         save_path=os.path.join(
                             self.results_dir,
                             f"sample_class_color_{name}_{color}_epoch_{epoch}.png",
@@ -375,7 +376,6 @@ class PipelineRunner:
             name = self.class_names[class_idx]
             viz.create_diffusion_animation(
                 sampler, decode_fn, class_idx, self.class_names,
-                extra_cond=self._viz_cond(1),
                 save_path=os.path.join(
                     self.results_dir,
                     f"diffusion_animation_class_{name}_epoch_{epoch}.gif",
@@ -383,7 +383,6 @@ class PipelineRunner:
             )
             viz.generate_class_samples(
                 sampler, decode_fn, class_idx, self.class_names,
-                extra_cond=self._viz_cond(5),
                 save_path=os.path.join(
                     self.results_dir, f"sample_class_{name}_epoch_{epoch}.png"
                 ),
@@ -392,7 +391,6 @@ class PipelineRunner:
                 encode_mu_fn, decode_fn, sampler,
                 self.test_images, np.asarray(self.test_labels),
                 class_idx, self.class_names,
-                extra_cond=self._viz_cond(40),
                 save_path=os.path.join(
                     self.results_dir, f"denoising_path_{name}_epoch_{epoch}.png"
                 ),
@@ -400,14 +398,9 @@ class PipelineRunner:
 
     def _final_sweep(self, diff, decode_fn, encode_mu_fn):
         """Sample grid + 10 denoising paths + 10 GIFs (v1:1406-1429)."""
-        sampler = diff.sampler()
-        is_v3 = self.preset.latent.num_colors is not None
-        if is_v3:
-            # the grid path conditions on class only; give v3 a default color
-            from flowerdiff.viz.color_viz import generate_class_color_samples  # noqa: F401
+        _raw, sampler = self._viz_sampler(diff)
         viz.generate_samples_grid(
-            _CondAdapter(sampler) if is_v3 else sampler, decode_fn,
-            self.class_names, save_dir=self.results_dir,
+            sampler, decode_fn, self.class_names, save_dir=self.results_dir,
         )
         for class_idx in range(min(len(self.class_names), 10)):
             name = self.class_names[class_idx]
@@ -415,14 +408,12 @@ class PipelineRunner:
                 encode_mu_fn, decode_fn, sampler,
                 self.test_images, np.asarray(self.test_labels),
                 class_idx, self.class_names,
-                extra_cond=self._viz_cond(40),
                 save_path=os.path.join(
                     self.results_dir, f"denoising_path_{name}_final.png"
                 ),
             )
             viz.create_diffusion_animation(
                 sampler, decode_fn, class_idx, self.class_names, fps=15,
-                extra_cond=self._viz_cond(1),
                 save_path=os.path.join(
                     self.results_dir, f"diffusion_animation_{name}_final.gif"
                 ),
