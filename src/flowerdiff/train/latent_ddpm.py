@@ -96,7 +96,9 @@ def make_latent_diffusion_step(
     weights live in HBM once and the step never recompiles when they change.
     """
 
-    def step(state: TrainState, vae_params, images, labels, colors, rng):
+    def step(state: TrainState, vae_params, sched_arg, images, labels, colors, rng):
+        # the schedule tables arrive as ARGUMENTS: on the axon platform,
+        # programs with embedded array constants pay a large per-call penalty
         rng = jax.random.fold_in(rng, state.step)
         enc_rng, loss_rng, drop_rng = jax.random.split(rng, 3)
 
@@ -116,7 +118,7 @@ def make_latent_diffusion_step(
 
             cond = (labels,) if colors is None else (labels, colors)
             return ddpm_eps_loss(
-                sched, eps_fn, loss_rng, z, *cond, distance="euclidean"
+                sched_arg, eps_fn, loss_rng, z, *cond, distance="euclidean"
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -141,7 +143,7 @@ class LatentDiffusionTrainer:
                 images, labels = batch
                 colors = None
             self.state, loss = self._step(
-                self.state, vae_params, images, labels, colors,
+                self.state, vae_params, self.sched, images, labels, colors,
                 jax.random.fold_in(rng, i),
             )
             total = loss if total is None else total + loss

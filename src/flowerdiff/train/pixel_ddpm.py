@@ -49,14 +49,15 @@ def create_pixel_diffusion_state(
 
 
 def make_pixel_diffusion_step(model: PixelUNet, sched: DiffusionSchedule):
-    def step(state: TrainState, images, rng):
+    def step(state: TrainState, sched_arg, images, rng):
+        # schedule tables as arguments (axon embedded-constant penalty)
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
             def eps_fn(xt, t):
                 return model.apply({"params": params}, xt, t)
 
-            return ddpm_eps_loss(sched, eps_fn, rng, images, distance="mse")
+            return ddpm_eps_loss(sched_arg, eps_fn, rng, images, distance="mse")
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss
@@ -74,7 +75,7 @@ class PixelDiffusionTrainer:
         total, count = None, 0
         for i, (images, _labels) in enumerate(batches):
             self.state, loss = self._step(
-                self.state, images, jax.random.fold_in(rng, i)
+                self.state, self.sched, images, jax.random.fold_in(rng, i)
             )
             total = loss if total is None else total + loss
             count += 1

@@ -74,7 +74,7 @@ def main():
         lcfg = LatentDiffusionConfig()
         dstate, model, sched = create_latent_diffusion_state(rng, lcfg)
         dstep = make_latent_diffusion_step(model, vae, sched, lcfg)
-        bench(dstep, (dstate, vae_params, images, labels, None, rng),
+        bench(dstep, (dstate, vae_params, sched, images, labels, None, rng),
               "latent_ddpm (frozen VAE)")
 
 
