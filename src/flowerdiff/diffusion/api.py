@@ -33,58 +33,59 @@ from flowerdiff.diffusion.sampler import (
     sample as _sample_impl,
     sample_with_trajectory as _traj_impl,
 )
-from flowerdiff.diffusion.schedule import DiffusionSchedule, linear_schedule
+from flowerdiff.diffusion.schedule import DiffusionSchedule
 
 
 def _masked_scan(sched, eps_fn, rng, x_init, t_start, *cond):
-    """Shared full-length scan where chain i only updates once t <= t_start_i."""
+    """Shared full-length scan where chain i only updates once t <= t_start_i.
+    Timestep is carried (no embedded arange constant — axon penalty)."""
 
-    def step(carry, t):
-        x, key = carry
+    def step(carry, _):
+        x, key, t = carry
         key, nkey = jax.random.split(key)
         t_vec = jnp.full((x.shape[0],), t, jnp.int32)
         eps_theta = eps_fn(x, t_vec, *cond)
         noise = jax.random.normal(nkey, x.shape, dtype=x.dtype)
         new_x = p_sample(sched, x, t_vec, eps_theta, noise)
         active = (t <= t_start).reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
-        return (x * (1 - active) + new_x * active, key), None
+        return (x * (1 - active) + new_x * active, key, t - 1), None
 
-    timesteps = jnp.arange(sched.n_steps - 1, -1, -1, dtype=jnp.int32)
-    (x, _), _ = jax.lax.scan(step, (x_init, rng), timesteps)
+    t0 = jnp.int32(sched.n_steps - 1)
+    (x, _, _), _ = jax.lax.scan(step, (x_init, rng, t0), None,
+                                length=sched.n_steps)
     return x
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled(model, sched_spec: tuple, event_shape: tuple):
-    """Build (and cache) the jitted sampling programs for a model/schedule/
-    shape combination. The schedule is reconstructed from its spec so the
-    cache key stays hashable; its small tables become jit constants."""
-    n_steps, beta_start, beta_end = sched_spec
-    sched = linear_schedule(n_steps, beta_start, beta_end)
+def _compiled(model, event_shape: tuple):
+    """Build (and cache) the jitted sampling programs for a model/shape
+    combination. The schedule tables enter every program as ARGUMENTS —
+    embedded array constants carry a large per-call penalty on the axon TPU
+    platform (see BASELINE.md)."""
 
     def eps(p, x, t, *cond):
         return model.apply(p, x, t, *cond)
 
     @functools.partial(jax.jit, static_argnames=("batch",))
-    def sample_jit(p, key, batch, *cond):
+    def sample_jit(p, sched, key, batch, *cond):
         return _sample_impl(
             sched, functools.partial(eps, p), key, (batch,) + event_shape, *cond
         )
 
     @jax.jit
-    def masked_jit(p, key, x_init, t_start_vec, *cond):
+    def masked_jit(p, sched, key, x_init, t_start_vec, *cond):
         return _masked_scan(
             sched, functools.partial(eps, p), key, x_init, t_start_vec, *cond
         )
 
     @functools.partial(jax.jit, static_argnames=("batch",))
-    def traj_jit(p, key, batch, *cond):
+    def traj_jit(p, sched, key, batch, *cond):
         return _traj_impl(
             sched, functools.partial(eps, p), key, (batch,) + event_shape, *cond
         )
 
     @functools.partial(jax.jit, static_argnames=("batch", "num_steps"))
-    def ddim_jit(p, key, batch, num_steps, *cond):
+    def ddim_jit(p, sched, key, batch, num_steps, *cond):
         return ddim_sample(
             sched, functools.partial(eps, p), key, (batch,) + event_shape,
             *cond, num_steps=num_steps,
@@ -113,28 +114,29 @@ class DiffusionSampler:
         self.params = params if "params" in params else {"params": params}
         self.sched = sched
         self.event_shape = tuple(event_shape)
-        spec = (sched.n_steps, float(sched.beta[0]), float(sched.beta[-1]))
         (self._sample_jit, self._masked_jit, self._traj_jit, self._ddim_jit,
-         self._eps_jit) = _compiled(model, spec, self.event_shape)
+         self._eps_jit) = _compiled(model, self.event_shape)
 
     def sample(self, rng: jax.Array, batch: int, *cond) -> jax.Array:
         """Full ancestral sampling (v1:594-598) in one compiled program."""
-        return self._sample_jit(self.params, rng, batch, *cond)
+        return self._sample_jit(self.params, self.sched, rng, batch, *cond)
 
     def sample_from(self, rng, x_t, t_start: int, *cond) -> jax.Array:
         """Denoise x_t from `t_start` down to 0."""
         t_vec = jnp.full((x_t.shape[0],), t_start, jnp.int32)
-        return self._masked_jit(self.params, rng, x_t, t_vec, *cond)
+        return self._masked_jit(self.params, self.sched, rng, x_t, t_vec, *cond)
 
     def masked_denoise(self, rng, x_init, t_start_vec, *cond) -> jax.Array:
         """Per-chain start times in one shared scan (viz/denoise_path.py)."""
-        return self._masked_jit(self.params, rng, x_init, t_start_vec, *cond)
+        return self._masked_jit(self.params, self.sched, rng, x_init,
+                                t_start_vec, *cond)
 
     def sample_with_trajectory(self, rng, batch: int, *cond):
-        return self._traj_jit(self.params, rng, batch, *cond)
+        return self._traj_jit(self.params, self.sched, rng, batch, *cond)
 
     def ddim(self, rng, batch: int, *cond, num_steps: int = 50) -> jax.Array:
-        return self._ddim_jit(self.params, rng, batch, num_steps, *cond)
+        return self._ddim_jit(self.params, self.sched, rng, batch, num_steps,
+                              *cond)
 
     def eps(self, x, t, *cond) -> jax.Array:
         """Single jitted denoiser evaluation."""

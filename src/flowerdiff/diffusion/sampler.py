@@ -38,19 +38,26 @@ def _reverse_scan(
     t_start: int,
     collect: bool,
 ):
-    """Scan t = t_start-1 .. 0 applying the ancestral step."""
+    """Scan t = t_start-1 .. 0 applying the ancestral step.
 
-    def step(carry, t):
-        x, key = carry
+    The timestep is carried (decremented in the loop) instead of scanned over
+    a `jnp.arange` — arange would become an embedded program constant, which
+    carries a large per-call penalty on the axon TPU platform.
+    """
+
+    def step(carry, _):
+        x, key, t = carry
         key, nkey = jax.random.split(key)
         t_vec = jnp.full((x.shape[0],), t, dtype=jnp.int32)
         eps_theta = eps_fn(x, t_vec, *cond)
         noise = jax.random.normal(nkey, x.shape, dtype=x.dtype)
         x = p_sample(sched, x, t_vec, eps_theta, noise)
-        return (x, key), (x if collect else None)
+        return (x, key, t - 1), (x if collect else None)
 
-    timesteps = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
-    (x, _), traj = jax.lax.scan(step, (x_init, rng), timesteps)
+    t0 = jnp.int32(t_start - 1)
+    (x, _, _), traj = jax.lax.scan(
+        step, (x_init, rng, t0), None, length=t_start
+    )
     return x, traj
 
 
@@ -113,8 +120,11 @@ def ddim_sample(
     init_key, scan_key = jax.random.split(rng)
     x = jax.random.normal(init_key, shape, dtype=dtype)
     # Strided timestep pairs (t, t_prev); t_prev = -1 means "alpha_bar = 1".
-    ts = jnp.linspace(0, sched.n_steps - 1, num_steps).round().astype(jnp.int32)[::-1]
-    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], dtype=jnp.int32)])
+    # Built from iota (no embedded-constant arange/linspace — axon penalty).
+    idx = jax.lax.iota(jnp.float32, num_steps)
+    stride = (sched.n_steps - 1) / max(num_steps - 1, 1)
+    ts = jnp.round(idx * stride).astype(jnp.int32)[::-1]
+    ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, dtype=jnp.int32)])
 
     abar_full = jnp.concatenate([jnp.ones((1,), jnp.float32), sched.alpha_bar])
 

@@ -214,9 +214,9 @@ def _run(prep, sched_tables, x_init, cond_adds, cond_final, seed,
     beta2, alpha2, abar2 = sched_tables
 
     half = time_emb_dim // 2
+    # iota, not arange: no embedded program constants (axon per-call penalty)
     freqs = jnp.exp(
-        jnp.arange(half, dtype=jnp.float32)
-        * (-math.log(10000.0) / (half - 1))
+        jax.lax.iota(jnp.float32, half) * (-math.log(10000.0) / (half - 1))
     ).reshape(1, half)
 
     args = [seed, x_init, freqs, beta2, alpha2, abar2,

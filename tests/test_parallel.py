@@ -107,5 +107,5 @@ def test_data_parallel_sampling_under_mesh():
     )
     classes_sh = jax.device_put(classes, data_sharding(mesh, 1))
     with jax.set_mesh(mesh):
-        out = sampler._sample_jit(sharded_params, jax.random.key(1), 16, classes_sh)
+        out = sampler._sample_jit(sharded_params, sampler.sched, jax.random.key(1), 16, classes_sh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-4)
