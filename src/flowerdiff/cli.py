@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="model-parallel axis size")
     p.add_argument("--tiny", action="store_true",
                    help="shrink all models for smoke runs / CI")
+    p.add_argument("--visualize_every", type=int, default=None,
+                   help="diffusion visualization cadence (default 50, v1:1375)")
+    p.add_argument("--vae_visualize_every", type=int, default=None,
+                   help="VAE visualization cadence (default 300, v1:1323)")
     return p
 
 
@@ -67,6 +71,20 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     preset = get_preset(args.version)
     if args.tiny:
         preset = tiny_preset(preset)
+    import dataclasses
+
+    if args.visualize_every is not None:
+        preset = dataclasses.replace(
+            preset, diffusion_visualize_every=args.visualize_every,
+            pixel_visualize_every=(
+                args.visualize_every if preset.pixel is not None
+                else preset.pixel_visualize_every
+            ),
+        )
+    if args.vae_visualize_every is not None:
+        preset = dataclasses.replace(
+            preset, vae_visualize_every=args.vae_visualize_every
+        )
     mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)
     runner = PipelineRunner(
         preset,
