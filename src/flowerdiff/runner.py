@@ -159,6 +159,8 @@ class PipelineRunner:
         else:
             print("No existing autoencoder found. Training a new one...")
             best = float("inf")
+            best_tree = None
+            best_epoch = 0
             ep_rng = np.random.default_rng(self.seed)
             for epoch in range(vae_epochs):
                 batches = self.train_ds.batches(ep_rng, batch_size)
@@ -172,12 +174,21 @@ class PipelineRunner:
                     f"Epoch {epoch + 1}/{vae_epochs}, "
                     + ", ".join(f"{k}: {v:.6f}" for k, v in sorted(metrics.items()))
                 )
-                if metrics["total"] < best:  # best-ckpt policy (v1:1177-1182)
+                if metrics["total"] < best:
+                    # Best-checkpoint policy (v1:1177-1182). The best state is
+                    # held on device and persisted at the viz cadence + at the
+                    # end — a per-epoch 69M-param disk write would dominate
+                    # the ~1.6ms train steps.
                     best = metrics["total"]
-                    vae_ckpt.save(epoch, {"params": trainer.state.gen.params,
-                                          "centers": trainer.state.centers})
+                    best_epoch = epoch
+                    best_tree = {"params": trainer.state.gen.params,
+                                 "centers": trainer.state.centers}
                 if (epoch + 1) % preset.vae_visualize_every == 0 or epoch == vae_epochs - 1:
+                    if best_tree is not None:
+                        vae_ckpt.save(best_epoch, best_tree)
                     self._vae_viz(trainer, epoch + 1)
+            if best_tree is not None:
+                vae_ckpt.save(best_epoch, best_tree)
             vae_ckpt.save(vae_epochs, {"params": trainer.state.gen.params,
                                        "centers": trainer.state.centers})
             history.save_jsonl(os.path.join(self.results_dir, "vae_history.jsonl"))
