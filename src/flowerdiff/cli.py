@@ -56,13 +56,19 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     import os
 
+    import jax
+
     if os.environ.get("FLOWERDIFF_PLATFORM"):
         # The axon TPU plugin pre-sets jax_platforms, overriding JAX_PLATFORMS;
         # honor an explicit framework-level platform request (e.g. 'cpu' for
         # smoke runs while the chip is busy).
-        import jax
-
         jax.config.update("jax_platforms", os.environ["FLOWERDIFF_PLATFORM"])
+    # Persistent compilation cache: repeated runs skip XLA compiles.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from flowerdiff.configs import get_preset, tiny_preset
     from flowerdiff.parallel import create_mesh
