@@ -178,11 +178,16 @@ class PipelineRunner:
                     # Best-checkpoint policy (v1:1177-1182). The best state is
                     # held on device and persisted at the viz cadence + at the
                     # end — a per-epoch 69M-param disk write would dominate
-                    # the ~1.6ms train steps.
+                    # the ~1.6ms train steps. COPIES, not references: the
+                    # jitted step donates its input buffers, so references
+                    # into a past state get deleted by later steps.
                     best = metrics["total"]
                     best_epoch = epoch
-                    best_tree = {"params": trainer.state.gen.params,
-                                 "centers": trainer.state.centers}
+                    best_tree = jax.tree.map(
+                        jnp.copy,
+                        {"params": trainer.state.gen.params,
+                         "centers": trainer.state.centers},
+                    )
                 if (epoch + 1) % preset.vae_visualize_every == 0 or epoch == vae_epochs - 1:
                     if best_tree is not None:
                         vae_ckpt.save(best_epoch, best_tree)
