@@ -29,7 +29,7 @@ def _log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def measure_ours(batch=50, n_steps=1000, latent=256, repeats=3):
+def measure_ours(batch=50, n_steps=1000, latent=256, repeats=6):
     """Fused-kernel sampling path (kernels/full_sampler.py: the whole
     1000-step reverse process as ONE Pallas kernel, weights VMEM-resident)
     + jitted VAE decode. Numerics: deterministic mode matches the XLA
