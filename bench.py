@@ -4,13 +4,21 @@
 Pipeline measured (the reference's throughput north-star, SURVEY.md §3.3):
 full 1000-step class-conditional latent-DDPM reverse process at reference
 width (latent 256, hidden [256,512,1024,512,256], batch 50 = 10 classes x 5
-samples, matching the sample grid v1:614-655) + VAE decode — all as ONE
-jitted lax.scan program on the accelerator.
+samples, matching the sample grid v1:614-655) + VAE decode.
+
+Timing protocol: the axon TPU runtime completes work asynchronously and
+host-side `block_until_ready` can return optimistically, so naive wall-clock
+under-reports. We therefore time CHAINS of data-dependent pipeline calls
+(each call's conditioning derives from the previous output, forcing full
+serialization), fetch the final result to host, and difference two chain
+lengths — per_call = (T_K2 - T_K1) / (K2 - K1) — which cancels fixed
+dispatch/RTT overheads. Both the XLA-scan sampler and the whole-process
+Pallas kernel are measured; the better one is the headline.
 
 Baseline: the PyTorch reference's python-loop sampler measured by
 baselines/torch_reference.py on this host (CPU — the only torch device
-here; the reference itself ran mps/cuda/cpu, v1:1292-1293). The baseline
-measurement is cached in BASELINE_MEASURED.json.
+here; the reference itself ran mps/cuda/cpu, v1:1292-1293), cached in
+BASELINE_MEASURED.json.
 
 Prints exactly ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -29,18 +37,15 @@ def _log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def measure_ours(batch=50, n_steps=1000, latent=256, repeats=6):
-    """Fused-kernel sampling path (kernels/full_sampler.py: the whole
-    1000-step reverse process as ONE Pallas kernel, weights VMEM-resident)
-    + jitted VAE decode. Numerics: deterministic mode matches the XLA
-    scan sampler to bf16 tolerance (tests/test_kernels.py); the ancestral
-    noise stream is the on-core PRNG (implementation-defined, SURVEY §7.3)."""
+def measure_ours(batch=50, n_steps=1000, latent=256, k_short=4, k_long=16):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 
     from flowerdiff.diffusion import linear_schedule
+    from flowerdiff.diffusion.api import DiffusionSampler
     from flowerdiff.kernels.full_sampler import fused_sample, prepare_fused_sampler
     from flowerdiff.models import ConditionalLatentDenoiser
     from flowerdiff.models.vae import FlowerVAE
@@ -49,45 +54,58 @@ def measure_ours(batch=50, n_steps=1000, latent=256, repeats=6):
     model = ConditionalLatentDenoiser()
     vae = FlowerVAE()
     rng = jax.random.key(0)
-    x0 = jnp.zeros((batch, latent))
-    t0 = jnp.zeros((batch,), jnp.int32)
-    classes = jnp.arange(batch, dtype=jnp.int32) % 10
-    params = model.init(rng, x0, t0, classes)
+    params = model.init(rng, jnp.zeros((1, latent)), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32))
     vae_params = vae.init(
         {"params": rng}, jnp.zeros((1, 64, 64, 3)), rng, method=FlowerVAE.init_all
     )
     sched = linear_schedule(n_steps)
     prep = prepare_fused_sampler(model, params)
+    sampler = DiffusionSampler(model, params, sched, (latent,))
+    classes = jnp.arange(batch, dtype=jnp.int32) % 10
+    decode = jax.jit(lambda vp, z: vae.apply(vp, z, method=FlowerVAE.decode))
 
-    # NB: params must be jit ARGUMENTS — closing over them bakes hundreds of
-    # MB of weights in as XLA constants (minutes of compile, ~30ms/call).
-    decode = jax.jit(
-        lambda vp, z: vae.apply(vp, z, method=FlowerVAE.decode)
-    )
-
-    def pipeline(key):
-        z = fused_sample(model, params, sched, key, batch, classes, prep=prep)
+    def pipeline_xla(img, i):
+        # conditioning depends on the previous output -> forced serialization
+        cc = (classes + img[0, 0, 0, 0].astype(jnp.int32) % 2) % 102
+        z = sampler.sample(jax.random.fold_in(rng, i), batch, cc)
         return decode(vae_params, z)
 
-    _log("compiling sampling pipeline (fused Pallas sampler)...")
-    t_compile = time.perf_counter()
-    out = jax.block_until_ready(pipeline(jax.random.key(1)))
-    _log(f"compile+first run: {time.perf_counter() - t_compile:.1f}s, "
-         f"out {out.shape}")
+    def pipeline_fused(img, i):
+        cc = (classes + img[0, 0, 0, 0].astype(jnp.int32) % 2) % 102
+        z = fused_sample(model, params, sched,
+                         jax.random.fold_in(rng, i), batch, cc, prep=prep)
+        return decode(vae_params, z)
 
-    times = []
-    for i in range(repeats):
-        start = time.perf_counter()
-        jax.block_until_ready(pipeline(jax.random.key(i + 2)))
-        times.append(time.perf_counter() - start)
-    best = min(times)
-    _log(f"run times: {[f'{t:.4f}' for t in times]}")
+    def chain_time(fn, k):
+        x = jnp.zeros((batch, 64, 64, 3))
+        t0 = time.perf_counter()
+        for i in range(k):
+            x = fn(x, i)
+        np.asarray(x[:1, :1, :1, :1])  # force full completion + host fetch
+        return time.perf_counter() - t0
+
+    results = {}
+    for name, fn in (("xla_scan", pipeline_xla), ("pallas_fused", pipeline_fused)):
+        _log(f"compiling/warming {name}...")
+        chain_time(fn, 2)  # warm/compile
+        t_short = min(chain_time(fn, k_short) for _ in range(2))
+        t_long = min(chain_time(fn, k_long) for _ in range(2))
+        per_call = (t_long - t_short) / (k_long - k_short)
+        results[name] = per_call
+        _log(f"{name}: {per_call * 1000:.2f} ms/pipeline-call "
+             f"({batch / per_call:.0f} img/s)")
+
+    best_name = min(results, key=results.get)
+    best = results[best_name]
+    _log(f"best path: {best_name}")
     return {
         "images_per_sec": batch / best,
         "steps_per_sec": n_steps / best,
         "seconds_per_grid": best,
         "batch": batch,
         "n_steps": n_steps,
+        "path": best_name,
         "backend": jax.default_backend(),
     }
 
@@ -109,8 +127,8 @@ def main():
     ours = measure_ours()
     baseline = measure_baseline()
     vs = ours["images_per_sec"] / baseline["images_per_sec"]
-    _log(f"ours: {ours['images_per_sec']:.2f} img/s ({ours['backend']}), "
-         f"reference: {baseline['images_per_sec']:.4f} img/s "
+    _log(f"ours: {ours['images_per_sec']:.2f} img/s ({ours['backend']}, "
+         f"{ours['path']}), reference: {baseline['images_per_sec']:.4f} img/s "
          f"(torch {baseline['device']}) -> {vs:.1f}x")
     print(json.dumps({
         "metric": "images/sec 64x64 class-conditional sampling "
