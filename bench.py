@@ -63,19 +63,30 @@ def measure_ours(batch=50, n_steps=1000, latent=256, k_short=4, k_long=16):
     prep = prepare_fused_sampler(model, params)
     sampler = DiffusionSampler(model, params, sched, (latent,))
     classes = jnp.arange(batch, dtype=jnp.int32) % 10
-    decode = jax.jit(lambda vp, z: vae.apply(vp, z, method=FlowerVAE.decode))
+
+    # Each pipeline is ONE jitted program (sampling + decode in a single
+    # dispatch — per-dispatch round trips dominate on the tunneled chip).
+    @jax.jit
+    def pipeline_xla_jit(p, vp, img, key):
+        cc = (classes + img[0, 0, 0, 0].astype(jnp.int32) % 2) % 102
+        z = sampler._sample_jit(p, sched, key, batch, cc)
+        return vae.apply(vp, z, method=FlowerVAE.decode)
+
+    @jax.jit
+    def pipeline_fused_jit(p, prep_arrays, vp, img, key):
+        cc = (classes + img[0, 0, 0, 0].astype(jnp.int32) % 2) % 102
+        z = fused_sample(model, p, sched, key, batch, cc, prep={**prep_arrays, "n_stages": prep["n_stages"]})
+        return vae.apply(vp, z, method=FlowerVAE.decode)
+
+    prep_arrays = {k: v for k, v in prep.items() if k != "n_stages"}
+    sp = sampler.params
 
     def pipeline_xla(img, i):
-        # conditioning depends on the previous output -> forced serialization
-        cc = (classes + img[0, 0, 0, 0].astype(jnp.int32) % 2) % 102
-        z = sampler.sample(jax.random.fold_in(rng, i), batch, cc)
-        return decode(vae_params, z)
+        return pipeline_xla_jit(sp, vae_params, img, jax.random.fold_in(rng, i))
 
     def pipeline_fused(img, i):
-        cc = (classes + img[0, 0, 0, 0].astype(jnp.int32) % 2) % 102
-        z = fused_sample(model, params, sched,
-                         jax.random.fold_in(rng, i), batch, cc, prep=prep)
-        return decode(vae_params, z)
+        return pipeline_fused_jit(params, prep_arrays, vae_params, img,
+                                  jax.random.fold_in(rng, i))
 
     def chain_time(fn, k):
         x = jnp.zeros((batch, 64, 64, 3))
