@@ -11,9 +11,9 @@ methods are jit-compiled WITH THE PARAMS AS ARGUMENTS. This matters twice:
     params object changes — i.e. a full recompile at every visualization
     cadence during training.
 
-The compiled programs are cached per (model config, schedule spec, event
-shape) — constructing a fresh sampler for updated params (every viz cadence)
-reuses the executables.
+The compiled programs are cached per (model config, event shape), with the
+schedule tables passed as arguments — constructing a fresh sampler for
+updated params (every viz cadence) reuses the executables.
 
 `FusedDiffusionSampler` swaps the ancestral `sample` for the whole-process
 Pallas kernel (kernels/full_sampler.py) where available; all other paths
