@@ -31,20 +31,32 @@ from flowerdiff.train.vae_gan import (
 BATCH = 64
 
 
-def bench(step_fn, args, label, n=8):
+def bench(step_fn, args, label, k_short=4, k_long=16):
+    """Honest chained protocol (see bench.py): successive steps already
+    depend on the previous state, so chains serialize naturally; a host
+    fetch of a loss/param scalar forces completion, and differencing two
+    chain lengths cancels fixed dispatch overheads."""
+    import numpy as np
+
     t0 = time.perf_counter()
     out = step_fn(*args)
     jax.block_until_ready(jax.tree.leaves(out)[0])
     compile_s = time.perf_counter() - t0
-    state = out[0]
-    times = []
-    for _ in range(n):
+
+    state_box = [out[0]]
+
+    def chain(k):
+        # steps donate their input state: always continue from the latest
         t0 = time.perf_counter()
-        out = step_fn(state, *args[1:])
-        jax.block_until_ready(jax.tree.leaves(out)[0])
-        state = out[0]
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+        for _ in range(k):
+            res = step_fn(state_box[0], *args[1:])
+            state_box[0] = res[0]
+        np.asarray(jax.tree.leaves(res)[-1])[...]  # fetch a small leaf
+        return time.perf_counter() - t0
+
+    t_s = min(chain(k_short) for _ in range(2))
+    t_l = min(chain(k_long) for _ in range(2))
+    best = (t_l - t_s) / (k_long - k_short)
     print(f"{label:24s} compile {compile_s:6.1f}s  step {best*1000:7.2f}ms "
           f" {BATCH/best:8.1f} img/s", flush=True)
 
