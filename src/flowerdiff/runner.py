@@ -25,7 +25,14 @@ from flowerdiff.data import DeviceDataset, synthetic_flowers
 from flowerdiff.data.flowers102 import class_names as flowers_class_names
 from flowerdiff.data.flowers102 import load_flowers102
 from flowerdiff.models.vae import FlowerVAE
-from flowerdiff.train.checkpoints import CheckpointManager, parse_epoch_from_filename
+from flowerdiff.train.checkpoints import (
+    CheckpointManager,
+    parse_epoch_from_filename,
+    state_to_tree,
+    tree_into_state,
+    tree_into_vae_gan_state,
+    vae_gan_state_to_tree,
+)
 from flowerdiff.train.latent_ddpm import LatentDiffusionTrainer
 from flowerdiff.train.metrics import LossHistory
 from flowerdiff.train.pixel_ddpm import PixelDiffusionTrainer
@@ -150,12 +157,8 @@ class PipelineRunner:
         history = LossHistory()
         if vae_ckpt.exists():
             print(f"Loading existing autoencoder from {vae_ckpt.directory}")
-            restored = vae_ckpt.restore(like={"params": trainer.state.gen.params,
-                                              "centers": trainer.state.centers})
-            trainer.state = trainer.state.replace(
-                gen=trainer.state.gen.replace(params=restored["params"]),
-                centers=restored["centers"],
-            )
+            restored = vae_ckpt.restore(like=vae_gan_state_to_tree(trainer.state))
+            trainer.state = tree_into_vae_gan_state(trainer.state, restored)
         else:
             print("No existing autoencoder found. Training a new one...")
             best = float("inf")
@@ -180,13 +183,13 @@ class PipelineRunner:
                     # end — a per-epoch 69M-param disk write would dominate
                     # the ~1.6ms train steps. COPIES, not references: the
                     # jitted step donates its input buffers, so references
-                    # into a past state get deleted by later steps.
+                    # into a past state get deleted by later steps. FULL
+                    # state (gen+disc incl. optimizer moments + centers) so
+                    # resume is exact (reference saves G+D dicts, v1:1188-1191).
                     best = metrics["total"]
                     best_epoch = epoch
                     best_tree = jax.tree.map(
-                        jnp.copy,
-                        {"params": trainer.state.gen.params,
-                         "centers": trainer.state.centers},
+                        jnp.copy, vae_gan_state_to_tree(trainer.state)
                     )
                 if (epoch + 1) % preset.vae_visualize_every == 0 or epoch == vae_epochs - 1:
                     if best_tree is not None:
@@ -194,8 +197,7 @@ class PipelineRunner:
                     self._vae_viz(trainer, epoch + 1)
             if best_tree is not None:
                 vae_ckpt.save(best_epoch, best_tree)
-            vae_ckpt.save(vae_epochs, {"params": trainer.state.gen.params,
-                                       "centers": trainer.state.centers})
+            vae_ckpt.save(vae_epochs, vae_gan_state_to_tree(trainer.state))
             history.save_jsonl(os.path.join(self.results_dir, "vae_history.jsonl"))
             viz.plot_loss_curves(
                 history.history,
@@ -215,13 +217,13 @@ class PipelineRunner:
             epoch = parse_epoch_from_filename(checkpoint_path)
             if epoch is not None and diff_ckpt.exists():
                 start_epoch = epoch
-                restored = diff_ckpt.restore(epoch, like={"params": diff.state.params})
-                diff.state = diff.state.replace(params=restored["params"])
+                restored = diff_ckpt.restore(epoch, like=state_to_tree(diff.state))
+                diff.state = tree_into_state(diff.state, restored)
                 print(f"Continuing training from epoch {start_epoch}")
         elif diff_ckpt.exists():
             start_epoch = diff_ckpt.latest_step()
-            restored = diff_ckpt.restore(like={"params": diff.state.params})
-            diff.state = diff.state.replace(params=restored["params"])
+            restored = diff_ckpt.restore(like=state_to_tree(diff.state))
+            diff.state = tree_into_state(diff.state, restored)
             print(f"Loaded diffusion model at epoch {start_epoch}")
 
         diff_losses = []
@@ -234,9 +236,9 @@ class PipelineRunner:
             if (epoch + 1) % preset.diffusion_visualize_every == 0 or epoch == total_epochs - 1:
                 if cadence_viz:
                     self._diffusion_viz(diff, decode_fn, encode_mu_fn, epoch + 1)
-                diff_ckpt.save(epoch + 1, {"params": diff.state.params})
+                diff_ckpt.save(epoch + 1, state_to_tree(diff.state))
         if diff_losses:
-            diff_ckpt.save(max(total_epochs, start_epoch), {"params": diff.state.params})
+            diff_ckpt.save(total_epochs, state_to_tree(diff.state))
             viz.plot_single_loss_curve(
                 diff_losses,
                 os.path.join(
@@ -263,8 +265,8 @@ class PipelineRunner:
         trainer = PixelDiffusionTrainer(preset.pixel, jax.random.key(self.seed))
         ckpt = CheckpointManager(os.path.join(self.results_dir, "ckpt_pixel"))
         if ckpt.exists():
-            restored = ckpt.restore(like={"params": trainer.state.params})
-            trainer.state = trainer.state.replace(params=restored["params"])
+            restored = ckpt.restore(like=state_to_tree(trainer.state))
+            trainer.state = tree_into_state(trainer.state, restored)
             print(f"Loaded pixel diffusion at epoch {ckpt.latest_step()}")
         else:
             ep_rng = np.random.default_rng(self.seed)
@@ -292,7 +294,7 @@ class PipelineRunner:
                             self.results_dir, f"diffusion_animation_epoch_{epoch}.gif"
                         ),
                     )
-            ckpt.save(epochs, {"params": trainer.state.params})
+            ckpt.save(epochs, state_to_tree(trainer.state))
 
         # Final artifacts (v4:272-286).
         sampler = trainer.sampler()

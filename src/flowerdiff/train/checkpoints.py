@@ -1,18 +1,33 @@
 """Checkpointing (reference layer L7, SURVEY.md §5.4).
 
-The reference torch.saves state_dict bundles and parses the resume epoch out
-of the checkpoint FILENAME (v1:1179-1191, 1352-1363). Here checkpoints are
-Orbax with explicit step metadata; `parse_epoch_from_filename` is kept as a
-parity helper so reference-style `...epoch_N.pt` paths still resume correctly
-through the CLI.
+The reference torch.saves state_dict bundles — including the discriminator
+alongside the VAE (v1:1188-1191) — and parses the resume epoch out of the
+checkpoint FILENAME (v1:1179-1191, 1352-1363). Here checkpoints are Orbax
+trees under explicit `step_N` directories; `parse_epoch_from_filename` is
+kept as a parity helper so reference-style `...epoch_N.pt` paths still
+resume correctly through the CLI.
+
+Beyond-reference fidelity: full-state serialization helpers capture the
+COMPLETE training state — params, optimizer moments (Adam mu/nu), and the
+step counter that positions the LR schedule — so a process restart resumes
+bit-exactly (tested in tests/test_checkpoints.py). The reference restarts
+optimizers from scratch on resume; we don't.
+
+Crash safety: a save never destroys the previous checkpoint of the same step
+until the new one is fully committed. Orbax itself commits atomically
+(tmp-dir + rename); overwriting an existing step renames the old directory
+aside first and removes it only after the new save lands.
 """
 from __future__ import annotations
 
 import os
 import re
+import shutil
 from typing import Any, Optional
 
 import orbax.checkpoint as ocp
+
+_STEP_RE = re.compile(r"^step_(\d+)$")
 
 
 def parse_epoch_from_filename(path: str) -> Optional[int]:
@@ -21,37 +36,125 @@ def parse_epoch_from_filename(path: str) -> Optional[int]:
     return int(m.group(1)) if m else None
 
 
+def state_to_tree(train_state) -> dict:
+    """Serialize a flax TrainState to a pure-array pytree: params + optimizer
+    state (Adam moments, schedule position) + step counter."""
+    return {
+        "params": train_state.params,
+        "opt_state": train_state.opt_state,
+        "step": train_state.step,
+    }
+
+
+def tree_into_state(train_state, tree: dict):
+    """Rebuild a TrainState from a `state_to_tree` pytree (exact resume)."""
+    return train_state.replace(
+        params=tree["params"], opt_state=tree["opt_state"], step=tree["step"]
+    )
+
+
+def vae_gan_state_to_tree(state) -> dict:
+    """Full VAE-GAN bundle: generator + discriminator TrainStates + EMA
+    centers (reference saves VAE + D state dicts, v1:1188-1191; optimizer
+    state is our fidelity improvement)."""
+    return {
+        "gen": state_to_tree(state.gen),
+        "disc": state_to_tree(state.disc),
+        "centers": state.centers,
+    }
+
+
+def tree_into_vae_gan_state(state, tree: dict):
+    return state.replace(
+        gen=tree_into_state(state.gen, tree["gen"]),
+        disc=tree_into_state(state.disc, tree["disc"]),
+        centers=tree["centers"],
+    )
+
+
 class CheckpointManager:
-    """Thin Orbax wrapper: save(step, pytree) / restore(step|latest)."""
+    """Atomic step-directory checkpoints: save(step, pytree) / restore().
+
+    Layout: `<directory>/step_<N>/` each an Orbax StandardCheckpointer
+    checkpoint. Old steps beyond `max_to_keep` are pruned (the newest are
+    kept; pruning never removes the step just written).
+    """
 
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        self._mgr = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
-            ),
-        )
+        self.max_to_keep = max_to_keep
+        self._ckptr = ocp.StandardCheckpointer()
+        # Recover from a save that crashed mid-sequence. A `.old` with no
+        # step dir means the crash hit between the two renames — the backup
+        # is the only surviving copy, so restore it. Any other `.new`/`.old`
+        # is redundant staging and is swept.
+        for name in sorted(os.listdir(self.directory)):
+            path = os.path.join(self.directory, name)
+            if name.endswith(".old"):
+                step_dir = path[:-4]
+                if not os.path.exists(step_dir):
+                    os.rename(path, step_dir)
+                else:
+                    shutil.rmtree(path)
+        for name in sorted(os.listdir(self.directory)):
+            if name.endswith(".new"):
+                shutil.rmtree(os.path.join(self.directory, name))
 
-    def save(self, step: int, tree: Any, force: bool = True) -> None:
-        if step in self._mgr.all_steps():
-            # Re-saving a step (e.g. final save right after a cadence save at
-            # the same epoch) overwrites rather than raising.
-            self._mgr.delete(step)
-        self._mgr.save(step, args=ocp.args.StandardSave(tree), force=force)
-        self._mgr.wait_until_finished()
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step}")
+
+    def all_steps(self) -> list[int]:
+        steps = []
+        for name in os.listdir(self.directory):
+            m = _STEP_RE.match(name)
+            if m and not os.path.exists(
+                os.path.join(self.directory, name, "_incomplete")
+            ):
+                steps.append(int(m.group(1)))
+        return sorted(steps)
+
+    def save(self, step: int, tree: Any) -> None:
+        target = self._step_dir(step)
+        staging = target + ".new"
+        backup = target + ".old"
+        for stale in (staging, backup):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        # Orbax commits `staging` atomically (tmp write + rename).
+        self._ckptr.save(staging, tree)
+        self._ckptr.wait_until_finished()
+        if os.path.exists(target):
+            os.rename(target, backup)
+        os.rename(staging, target)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        self._prune(keep_step=step)
+
+    def _prune(self, keep_step: int) -> None:
+        steps = self.all_steps()
+        excess = len(steps) - self.max_to_keep
+        for s in steps:
+            if excess <= 0:
+                break
+            if s == keep_step:
+                continue
+            shutil.rmtree(self._step_dir(s))
+            excess -= 1
 
     def restore(self, step: Optional[int] = None, like: Any = None) -> Any:
         step = self.latest_step() if step is None else step
-        if step is None:
-            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        if step is None or not os.path.exists(self._step_dir(step)):
+            raise FileNotFoundError(
+                f"no checkpoint for step {step} in {self.directory}"
+            )
         if like is not None:
-            return self._mgr.restore(step, args=ocp.args.StandardRestore(like))
-        return self._mgr.restore(step)
+            return self._ckptr.restore(self._step_dir(step), like)
+        return self._ckptr.restore(self._step_dir(step))
 
     def latest_step(self) -> Optional[int]:
-        return self._mgr.latest_step()
+        steps = self.all_steps()
+        return steps[-1] if steps else None
 
     def exists(self) -> bool:
         return self.latest_step() is not None
