@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="diffusion visualization cadence (default 50, v1:1375)")
     p.add_argument("--vae_visualize_every", type=int, default=None,
                    help="VAE visualization cadence (default 300, v1:1323)")
+    p.add_argument("--no-final-sweep", action="store_true",
+                   help="skip the final sample-grid/paths/GIF sweep (v1:1406-1429)")
+    p.add_argument("--no-cadence-viz", action="store_true",
+                   help="train without per-cadence visualization artifacts")
     return p
 
 
@@ -112,6 +116,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             vae_epochs=args.vae_epochs,
             checkpoint_path=args.checkpoint_path,
             batch_size=args.batch_size,
+            final_sweep=not args.no_final_sweep,
+            cadence_viz=not args.no_cadence_viz,
         )
 
 

@@ -5,8 +5,13 @@ alpha = 1 - beta, alpha_bar = cumprod(alpha)
 (v1/model_train_test.py:569-572; v4:144-146). The tables are computed exactly
 like torch.linspace in float32 so golden tests can compare bitwise.
 
-The tables are small constants; under jit they are baked into the compiled
-executable, so every gather `alpha_bar[t]` is a cheap on-chip lookup.
+The tables are SMALL DATA, not program constants: every hot path
+(diffusion/api.py, sampler.py, train/*.py) threads the schedule through jit
+as an ARGUMENT, because on this platform programs with embedded array
+constants pay a large per-call re-staging penalty (measured; see
+BASELINE.md). `DiffusionSchedule` is a registered pytree dataclass precisely
+so it can ride through jit argument lists; gathers like `alpha_bar[t]` are
+cheap on-chip lookups either way.
 """
 from __future__ import annotations
 

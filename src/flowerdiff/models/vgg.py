@@ -8,13 +8,17 @@ This is a from-scratch Flax re-implementation of that prefix:
   conv3-64, conv3-64, maxpool2, conv3-128, conv3-128, maxpool2,
   conv3-256, conv3-256, conv3-256           (ReLU after every conv)
 
-Pretrained weights: this environment has no network egress and no torchvision,
-so weights are loaded from a converted `.npz` asset when present
-(tools/convert_vgg_weights.py converts a torchvision state_dict file offline).
-When the asset is absent, the extractor falls back to FIXED seeded random
-filters — a random-projection perceptual loss; still a meaningful structural
-similarity signal, and the fallback is reported so runs are never silently
-non-comparable. The asset path can be set via FLOWERDIFF_VGG_WEIGHTS.
+Pretrained weights: this environment has no network egress and no torchvision
+weight cache anywhere on the machine, so the shipped asset
+`assets/vgg16_features16.npz` is a VALIDATED SUBSTITUTE: the same topology
+pretrained as a 102-class flower classifier by tools/pretrain_vgg.py, with
+distance-monotonicity and discrimination checks recorded in its metadata
+(`__source__`, `__val_accuracy__`, `__discrimination__`). On a machine with
+the real torchvision checkpoint, tools/convert_vgg_weights.py produces a
+drop-in replacement at the same path. When no asset exists at all, the
+extractor falls back to FIXED seeded random filters — a random-projection
+perceptual loss; the fallback is reported (`source="random-filters"`) so runs
+are never silently non-comparable. Path override: FLOWERDIFF_VGG_WEIGHTS.
 """
 from __future__ import annotations
 
@@ -61,10 +65,12 @@ class VGGFeatures(nn.Module):
 
 
 def load_vgg_params(path: Optional[str] = None, rng_seed: int = 0):
-    """Load converted VGG16 weights, or build seeded random fallback params.
+    """Load pretrained perceptual weights, or seeded random fallback params.
 
     Returns (params, pretrained: bool). The .npz layout is
-    {name}_kernel: (3,3,in,out) NHWC-ready, {name}_bias: (out,).
+    {name}_kernel: (3,3,in,out) NHWC-ready, {name}_bias: (out,), plus
+    optional `__source__` provenance metadata (exposed via
+    `describe_vgg_weights`).
     """
     path = path or DEFAULT_WEIGHTS_PATH
     model = VGGFeatures()
@@ -83,6 +89,18 @@ def load_vgg_params(path: Optional[str] = None, rng_seed: int = 0):
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     params = model.init(jax.random.key(rng_seed), dummy)
     return params, False
+
+
+def describe_vgg_weights(path: Optional[str] = None) -> str:
+    """Provenance of the active perceptual weights (asset `__source__`
+    metadata, or 'random-filters' when no asset exists)."""
+    path = path or DEFAULT_WEIGHTS_PATH
+    if path and os.path.exists(path):
+        data = np.load(path)
+        if "__source__" in data:
+            return str(data["__source__"])
+        return f"converted asset at {path}"
+    return "random-filters"
 
 
 class VGGPerceptual:

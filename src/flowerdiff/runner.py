@@ -205,6 +205,7 @@ class PipelineRunner:
             )
 
         vae, vae_params = trainer.vae, trainer.state.gen.params
+        self._trained_vae = (vae, vae_params)
         decode_fn, encode_mu_fn, encode_decode_fn = self._vae_fns(vae, vae_params)
         print(f"VAE recon PSNR: {self._recon_psnr(encode_decode_fn):.2f} dB")
 
@@ -312,6 +313,35 @@ class PipelineRunner:
     # Helpers
     # ------------------------------------------------------------------ #
 
+    def _quality_report(self, sampler, encode_mu_fn):
+        """Classifier accuracy on generated samples + latent MMD, appended to
+        <results_dir>/sample_quality.jsonl (utils/quality.py)."""
+        import json
+
+        from flowerdiff.utils.quality import sample_quality_report
+
+        vae, vae_params = self._trained_vae
+        classify_jit = jax.jit(
+            lambda p, z: vae.apply({"params": p}, z, method=FlowerVAE.classify)
+        )
+        report = sample_quality_report(
+            sampler,
+            lambda z: classify_jit(vae_params, z),
+            encode_mu_fn,
+            self.test_images,
+            jax.random.key(self.seed + 7),
+            num_classes=len(self.class_names),
+        )
+        print(
+            "Sample quality: classifier acc "
+            f"{report['classifier_accuracy']:.3f} (chance "
+            f"{report['chance_accuracy']:.3f}), latent MMD "
+            f"{report['latent_mmd']:.4f}"
+        )
+        with open(os.path.join(self.results_dir, "sample_quality.jsonl"), "a") as f:
+            f.write(json.dumps(report) + "\n")
+        return report
+
     def _vae_fns(self, vae: FlowerVAE, params):
         # Params are jit ARGUMENTS (python-side partial application): closing
         # over a 69M-param tree bakes it into the executable as constants —
@@ -415,8 +445,10 @@ class PipelineRunner:
             )
 
     def _final_sweep(self, diff, decode_fn, encode_mu_fn):
-        """Sample grid + 10 denoising paths + 10 GIFs (v1:1406-1429)."""
+        """Sample grid + 10 denoising paths + 10 GIFs (v1:1406-1429), plus
+        the quantitative quality report (beyond-reference; utils/quality.py)."""
         _raw, sampler = self._viz_sampler(diff)
+        self._quality_report(sampler, encode_mu_fn)
         viz.generate_samples_grid(
             sampler, decode_fn, self.class_names, save_dir=self.results_dir,
         )

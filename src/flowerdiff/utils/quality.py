@@ -1,0 +1,119 @@
+"""Quantitative sample-quality metrics (VERDICT r1 item 7).
+
+The reference's only "eval" is visual artifact inspection (SURVEY.md §4);
+these metrics make sample quality a NUMBER that moves when sampling breaks:
+
+  - `classifier_accuracy_on_samples`: generate class-conditional latents and
+    score them with the VAE's own classifier head (v1:311-321 trained with
+    the center/CE losses to make latents class-separable). Collapsed or
+    class-ignoring samplers drive this to ~1/num_classes.
+  - `latent_mmd`: unbiased RBF-kernel MMD^2 between real encoded latents and
+    generated latents — distribution-level match, label-free. Grows when the
+    sampler drifts off the VAE posterior manifold.
+
+Both run entirely on device over jitted functions; hosts fetch one scalar.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def classifier_accuracy_on_samples(
+    sampler,
+    classify_fn: Callable[[jax.Array], jax.Array],
+    rng: jax.Array,
+    num_classes: int,
+    n_per_class: int = 4,
+    max_classes: Optional[int] = None,
+) -> float:
+    """Accuracy of the VAE classifier head on class-conditional samples.
+
+    sampler: object with .sample(rng, batch, classes) -> latents (the
+      class-only sampling facade; v3 dual-condition samplers go through the
+      runner's _CondAdapter).
+    classify_fn: latents -> logits (FlowerVAE.classify with trained params).
+    """
+    k = min(num_classes, max_classes or num_classes)
+    classes = jnp.repeat(jnp.arange(k, dtype=jnp.int32), n_per_class)
+    latents = sampler.sample(rng, int(classes.shape[0]), classes)
+    logits = classify_fn(latents)
+    pred = jnp.argmax(logits, axis=-1)
+    return float(jnp.mean((pred == classes).astype(jnp.float32)))
+
+
+def _pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
+    aa = jnp.sum(a * a, axis=1)[:, None]
+    bb = jnp.sum(b * b, axis=1)[None, :]
+    return jnp.maximum(aa + bb - 2.0 * (a @ b.T), 0.0)
+
+
+def latent_mmd(
+    real: jax.Array,
+    generated: jax.Array,
+    bandwidth: Optional[float] = None,
+) -> float:
+    """Unbiased RBF MMD^2 between two latent sets (N,d)/(M,d).
+
+    bandwidth defaults to the median heuristic over the pooled pairwise
+    distances (computed on device).
+    """
+    real = jnp.asarray(real, jnp.float32)
+    generated = jnp.asarray(generated, jnp.float32)
+
+    d_rr = _pairwise_sq_dists(real, real)
+    d_gg = _pairwise_sq_dists(generated, generated)
+    d_rg = _pairwise_sq_dists(real, generated)
+
+    if bandwidth is None:
+        pooled = jnp.concatenate([d_rr.ravel(), d_gg.ravel(), d_rg.ravel()])
+        med = jnp.median(pooled)
+        bw = jnp.maximum(med, 1e-6)
+    else:
+        bw = jnp.float32(bandwidth)
+
+    def k(d):
+        return jnp.exp(-d / bw)
+
+    n = real.shape[0]
+    m = generated.shape[0]
+    # unbiased: drop the diagonal of the within-set terms
+    k_rr = (jnp.sum(k(d_rr)) - n) / (n * (n - 1))
+    k_gg = (jnp.sum(k(d_gg)) - m) / (m * (m - 1))
+    k_rg = jnp.mean(k(d_rg))
+    return float(k_rr + k_gg - 2.0 * k_rg)
+
+
+def sample_quality_report(
+    sampler,
+    classify_fn,
+    encode_mu_fn,
+    images: jax.Array,
+    rng: jax.Array,
+    num_classes: int,
+    n_per_class: int = 4,
+    max_classes: int = 26,
+    max_real: int = 256,
+) -> dict:
+    """The final-sweep quality bundle: classifier accuracy + MMD vs the
+    encoded real-set latents. Returns plain-float dict for JSONL logging."""
+    acc_rng, sample_rng = jax.random.split(rng)
+    acc = classifier_accuracy_on_samples(
+        sampler, classify_fn, acc_rng, num_classes,
+        n_per_class=n_per_class, max_classes=max_classes,
+    )
+    k = min(num_classes, max_classes)
+    classes = jnp.repeat(jnp.arange(k, dtype=jnp.int32), n_per_class)
+    generated = sampler.sample(sample_rng, int(classes.shape[0]), classes)
+    real = encode_mu_fn(images[:max_real])
+    mmd = latent_mmd(real, generated)
+    return {
+        "classifier_accuracy": acc,
+        "chance_accuracy": 1.0 / num_classes,
+        "latent_mmd": mmd,
+        "n_generated": int(classes.shape[0]),
+        "n_real": int(min(max_real, images.shape[0])),
+    }

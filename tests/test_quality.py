@@ -1,0 +1,75 @@
+"""Sample-quality metric tests (utils/quality.py): the numbers must MOVE when
+sampling breaks — that is their whole job (VERDICT r1 item 7)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowerdiff.utils.quality import (
+    classifier_accuracy_on_samples,
+    latent_mmd,
+    sample_quality_report,
+)
+
+
+class _FakeSampler:
+    """Sampler whose latents carry the class signal in the first coordinate
+    (scaled), or pure noise when `broken`."""
+
+    def __init__(self, dim=8, broken=False):
+        self.dim = dim
+        self.broken = broken
+
+    def sample(self, rng, batch, classes):
+        noise = 0.05 * jax.random.normal(rng, (batch, self.dim))
+        if self.broken:
+            return noise
+        onehotish = jnp.zeros((batch, self.dim)).at[:, 0].set(classes.astype(jnp.float32))
+        return onehotish + noise
+
+
+def _classify(z):
+    """Ideal classifier for the fake sampler's encoding."""
+    idx = jnp.round(z[:, 0]).astype(jnp.int32)
+    return jax.nn.one_hot(jnp.clip(idx, 0, 4), 5) * 10.0
+
+
+def test_classifier_accuracy_separates_working_from_broken():
+    rng = jax.random.key(0)
+    good = classifier_accuracy_on_samples(_FakeSampler(), _classify, rng, 5, 8)
+    bad = classifier_accuracy_on_samples(_FakeSampler(broken=True), _classify, rng, 5, 8)
+    assert good > 0.9
+    assert bad < 0.5  # collapses toward chance (all-zero first coord -> class 0)
+
+
+def test_mmd_zero_for_same_distribution_positive_for_shifted():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(128, 16)).astype(np.float32)
+    b = rng.normal(size=(128, 16)).astype(np.float32)
+    c = b + 3.0
+    same = latent_mmd(a, b)
+    shifted = latent_mmd(a, c)
+    assert abs(same) < 0.05
+    assert shifted > 10 * max(abs(same), 1e-4)
+
+
+def test_mmd_detects_variance_collapse():
+    """Mode collapse (tiny variance) must register even with matched means."""
+    rng = np.random.default_rng(1)
+    real = rng.normal(size=(128, 16)).astype(np.float32)
+    collapsed = 0.01 * rng.normal(size=(128, 16)).astype(np.float32)
+    assert latent_mmd(real, collapsed) > 0.1
+
+
+def test_sample_quality_report_bundle():
+    imgs = jnp.zeros((32, 4, 4, 3))
+
+    def encode_mu(x):
+        return jnp.tile(jnp.arange(x.shape[0], dtype=jnp.float32)[:, None] % 5, (1, 8))
+
+    report = sample_quality_report(
+        _FakeSampler(), _classify, encode_mu, imgs, jax.random.key(1),
+        num_classes=5, n_per_class=4, max_classes=5, max_real=32,
+    )
+    assert set(report) >= {"classifier_accuracy", "latent_mmd", "chance_accuracy"}
+    assert 0.0 <= report["classifier_accuracy"] <= 1.0
+    assert np.isfinite(report["latent_mmd"])
