@@ -29,3 +29,62 @@ def test_sampling_service_end_to_end():
 
     latents = service.sample_latents(jnp.array([1, 2]), jax.random.key(2))
     assert latents.shape == (2, 16) and bool(jnp.isfinite(latents).all())
+
+
+def _tiny_service(buckets=(4, 8)):
+    model = ConditionalLatentDenoiser(
+        latent_dim=16, hidden_dims=(16, 32, 16), time_emb_dim=16, num_classes=6
+    )
+    vae = FlowerVAE(latent_dim=16, num_classes=6,
+                    channels=(8, 16, 24, 32), head_width=32)
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 16)), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32))
+    vae_params = vae.init({"params": rng}, jnp.zeros((1, 64, 64, 3)), rng,
+                          method=FlowerVAE.init_all)
+    return SamplingService(model, params, vae, vae_params,
+                           sched=linear_schedule(8), use_fused=False,
+                           buckets=buckets)
+
+
+def test_bucketing_rounds_up_and_slices_back():
+    service = _tiny_service(buckets=(4, 8))
+    assert service.bucket_size(1) == 4
+    assert service.bucket_size(4) == 4
+    assert service.bucket_size(5) == 8
+    assert service.bucket_size(9) == 16  # multiple of top bucket
+    out = service.sample_classes([2, 4, 5], n_per_class=1, rng=jax.random.key(3))
+    assert out.shape == (3, 64, 64, 3)  # padded to 4 internally, sliced back
+
+
+def test_bucketing_reuses_one_program_across_request_sizes():
+    """Two different request sizes in the same bucket must hit the SAME
+    compiled program (batch is a static jit arg): assert the sampler sees
+    one padded batch size for both (VERDICT r1 item 8)."""
+    service = _tiny_service(buckets=(4, 8))
+    seen = []
+    orig = service.sampler.sample
+
+    def spy(rng, batch, *cond):
+        seen.append(batch)
+        return orig(rng, batch, *cond)
+
+    service.sampler.sample = spy
+    service.sample_classes([0], n_per_class=2, rng=jax.random.key(4))  # n=2
+    service.sample_classes([0, 1, 2], n_per_class=1, rng=jax.random.key(5))  # n=3
+    service.sample_latents(jnp.array([1]), jax.random.key(6))  # n=1
+    assert seen == [4, 4, 4]
+
+
+def test_warmup_covers_buckets():
+    service = _tiny_service(buckets=(4,))
+    seen = []
+    orig = service.sampler.sample
+
+    def spy(rng, batch, *cond):
+        seen.append(batch)
+        return orig(rng, batch, *cond)
+
+    service.sampler.sample = spy
+    service.warmup(jax.random.key(7))
+    assert seen == [4]
