@@ -307,7 +307,25 @@ class PipelineRunner:
             sampler,
             save_path=os.path.join(self.results_dir, "diffusion_animation.gif"),
         )
+        self._single_pixel_sample(sampler)
         return trainer
+
+    def _single_pixel_sample(self, sampler):
+        """One generated image, `generated_pixel_diffusion.png` (v4:278-288)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        img = np.asarray(sampler.sample(jax.random.key(self.seed + 9), 1))[0]
+        plt.figure(figsize=(4, 4))
+        plt.imshow(np.clip(img, 0, 1))
+        plt.axis("off")
+        plt.title("Generated Image")
+        path = os.path.join(self.results_dir, "generated_pixel_diffusion.png")
+        plt.savefig(path, bbox_inches="tight")
+        plt.close()
+        print(f"Generated image saved as {path}")
 
     # ------------------------------------------------------------------ #
     # Helpers

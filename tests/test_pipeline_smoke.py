@@ -52,3 +52,4 @@ def test_v4_pixel_pipeline_smoke(tmp_path):
     assert int(trainer.state.step) >= 1
     assert (tmp_path / "samples_grid.png").exists()
     assert (tmp_path / "diffusion_animation.gif").exists()
+    assert (tmp_path / "generated_pixel_diffusion.png").exists()  # v4:286
