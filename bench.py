@@ -110,6 +110,27 @@ def measure_ours(batch=50, n_steps=1000, latent=256, k_short=4, k_long=16):
     best_name = min(results, key=results.get)
     best = results[best_name]
     _log(f"best path: {best_name}")
+
+    # MFU accounting (see tools/mfu.py for the full roofline sweep): XLA's
+    # HLO cost analysis of the straight-line programs — n_steps * eps FLOPs
+    # + decode FLOPs — over the measured time, vs the 197 TF/s v5e bf16 peak.
+    def _flops(jitted, *a):
+        ca = jitted.lower(*a).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan")))
+
+    eps_jit = jax.jit(lambda p, x, t, c: model.apply(p, x, t, c))
+    decode_jit = jax.jit(lambda vp, z: vae.apply(vp, z, method=FlowerVAE.decode))
+    x0 = jnp.zeros((batch, latent))
+    t0 = jnp.zeros((batch,), jnp.int32)
+    pipe_flops = n_steps * _flops(eps_jit, params, x0, t0, classes) + _flops(
+        decode_jit, vae_params, x0
+    )
+    mfu = pipe_flops / best / 197e12
+    _log(f"pipeline {pipe_flops / 1e9:.1f} GFLOP, achieved "
+         f"{pipe_flops / best / 1e12:.1f} TF/s = {100 * mfu:.1f}% of v5e bf16 peak")
+
     return {
         "images_per_sec": batch / best,
         "steps_per_sec": n_steps / best,
@@ -118,6 +139,7 @@ def measure_ours(batch=50, n_steps=1000, latent=256, k_short=4, k_long=16):
         "n_steps": n_steps,
         "path": best_name,
         "backend": jax.default_backend(),
+        "mfu": mfu,
     }
 
 
@@ -147,6 +169,7 @@ def main():
         "value": round(ours["images_per_sec"], 3),
         "unit": "images/sec",
         "vs_baseline": round(vs, 2),
+        "mfu": round(ours["mfu"], 4),
     }))
 
 
