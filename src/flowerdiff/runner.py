@@ -356,8 +356,10 @@ class PipelineRunner:
             f"{report['chance_accuracy']:.3f}), latent MMD "
             f"{report['latent_mmd']:.4f}"
         )
+        safe = {k: (v if not isinstance(v, float) or np.isfinite(v) else str(v))
+                for k, v in report.items()}  # strict JSON: inf -> "inf"
         with open(os.path.join(self.results_dir, "sample_quality.jsonl"), "a") as f:
-            f.write(json.dumps(report) + "\n")
+            f.write(json.dumps(safe) + "\n")
         return report
 
     def _vae_fns(self, vae: FlowerVAE, params):

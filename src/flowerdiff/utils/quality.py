@@ -63,6 +63,10 @@ def latent_mmd(
     """
     real = jnp.asarray(real, jnp.float32)
     generated = jnp.asarray(generated, jnp.float32)
+    if not (bool(jnp.isfinite(real).all()) and bool(jnp.isfinite(generated).all())):
+        # A diverged sampler (inf/nan latents) is maximal distribution
+        # mismatch — report inf, not nan, so thresholds still trip.
+        return float("inf")
 
     d_rr = _pairwise_sq_dists(real, real)
     d_gg = _pairwise_sq_dists(generated, generated)

@@ -40,6 +40,16 @@ def test_v1_latent_pipeline_smoke(tmp_path):
     gen1 = jax.tree.leaves(trainer2.state.gen.params)[0]
     np.testing.assert_array_equal(np.asarray(gen0), np.asarray(gen1))
 
+    # Quality report (final-sweep component, utils/quality.py): computes and
+    # logs classifier accuracy + latent MMD for the trained sampler.
+    _, encode_mu_fn, _ = runner2._vae_fns(trainer2.vae, trainer2.state.gen.params)
+    _raw, sampler = runner2._viz_sampler(diff2)
+    report = runner2._quality_report(sampler, encode_mu_fn)
+    assert 0.0 <= report["classifier_accuracy"] <= 1.0
+    # one-epoch sampler may diverge (inf, by contract never nan)
+    assert not np.isnan(report["latent_mmd"])
+    assert (tmp_path / "sample_quality.jsonl").exists()
+
 
 @pytest.mark.slow
 def test_v4_pixel_pipeline_smoke(tmp_path):
