@@ -89,6 +89,16 @@ def main():
         bench(step, (state, images, labels, gates, rng, vgg.params),
               "vae_gan (full objective)")
 
+    if which in ("all", "vae_gan_bf16"):
+        # Mixed precision: conv stacks in bf16 (params stay f32).
+        cfg = VAEGANConfig(total_steps=1000, use_perceptual=False,
+                           compute_dtype="bfloat16")
+        state, vae, disc = create_vae_gan_state(rng, cfg)
+        step = make_vae_gan_step(vae, disc, cfg, vgg=None)
+        gates = gates_array(vae_gan_loss_gates(200, 1200))
+        bench(step, (state, images, labels, gates, rng, None),
+              "vae_gan (bf16 compute)")
+
     if which in ("all", "latent_ddpm"):
         cfg = VAEGANConfig(total_steps=1000, use_perceptual=False)
         _, vae, _ = create_vae_gan_state(rng, cfg)

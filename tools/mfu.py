@@ -105,6 +105,8 @@ def main():
     sched = linear_schedule()
     n_steps = sched.n_steps
     sampler = DiffusionSampler(model, params, sched, (256,))
+    model_bf16 = ConditionalLatentDenoiser(dtype=jnp.bfloat16)
+    sampler_bf16 = DiffusionSampler(model_bf16, params, sched, (256,))
 
     decode_jit = jax.jit(lambda vp, z: vae.apply(vp, z, method=FlowerVAE.decode))
     eps_jit = jax.jit(lambda p, x, t, c: model.apply(p, x, t, c))
@@ -136,6 +138,20 @@ def main():
             lambda: jnp.zeros((batch, 64, 64, 3)),
         )
         rows.append(fmt_row("sampler_pipeline_xla", batch, pipe_fl, secs)
+                    | {"img_per_sec": batch / secs})
+
+        @jax.jit
+        def pipe_xla_bf16(p, vp, prev, key):
+            cc = (classes + prev[0, 0, 0, 0].astype(jnp.int32) % 2) % 102
+            z = sampler_bf16._sample_jit(p, sched, key, batch, cc)
+            return vae.apply(vp, z, method=FlowerVAE.decode)
+
+        secs = chain_time(
+            lambda x, i: pipe_xla_bf16(params, vae_params, x,
+                                       jax.random.fold_in(rng, i)),
+            lambda: jnp.zeros((batch, 64, 64, 3)),
+        )
+        rows.append(fmt_row("sampler_pipeline_xla_bf16", batch, pipe_fl, secs)
                     | {"img_per_sec": batch / secs})
 
         if fused_ctx is not None:
