@@ -44,13 +44,20 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 PEAK_FLOPS = 197e12  # TPU v5e bf16 MXU peak per chip
 
 
-def hlo_flops(jitted, *args, **kwargs) -> float:
-    """XLA's own FLOP count for a compiled program."""
+def hlo_costs(jitted, *args, **kwargs) -> tuple[float, float]:
+    """XLA's own (flops, bytes accessed) for a compiled program. Bytes are
+    XLA's pre-fusion accounting — an upper bound on real HBM traffic, still
+    useful for spotting bandwidth-bound paths."""
     compiled = jitted.lower(*args, **kwargs).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
-    return float(ca.get("flops", float("nan")))
+    return (float(ca.get("flops", float("nan"))),
+            float(ca.get("bytes accessed", float("nan"))))
+
+
+def hlo_flops(jitted, *args, **kwargs) -> float:
+    return hlo_costs(jitted, *args, **kwargs)[0]
 
 
 def chain_time(fn, make_x, k_short=4, k_long=16, repeats=2):
@@ -200,15 +207,21 @@ def main():
     labels = jnp.arange(tb, dtype=jnp.int32) % 102
     gates = gates_array(vae_gan_loss_gates(200, 1200))
 
-    for label, use_vgg in (("vae_gan_step_full_objective", True),
-                           ("vae_gan_step_no_perceptual", False)):
-        cfg = VAEGANConfig(total_steps=1000, use_perceptual=use_vgg)
+    for label, use_vgg, dtype in (
+        ("vae_gan_step_full_objective", True, "float32"),
+        ("vae_gan_step_no_perceptual", False, "float32"),
+        ("vae_gan_step_full_bf16", True, "bfloat16"),
+    ):
+        cfg = VAEGANConfig(total_steps=1000, use_perceptual=use_vgg,
+                           compute_dtype=dtype)
         state, vae_t, disc = create_vae_gan_state(rng, cfg)
         vgg = VGGPerceptual() if use_vgg else None
         step = make_vae_gan_step(vae_t, disc, cfg, vgg=vgg)
         vgg_params = vgg.params if vgg else None
         step_args = (state, images, labels, gates, rng, vgg_params)
-        flops = hlo_flops(step, *step_args)
+        flops, bytes_acc = hlo_costs(step, *step_args)
+        print(f"  [{label}] bytes accessed {bytes_acc/1e9:.1f} GB, "
+              f"arithmetic intensity {flops/bytes_acc:.1f} FLOP/B", flush=True)
         box = [state]
 
         def run(x, i, _box=box, _step=step, _vgg=vgg_params):
