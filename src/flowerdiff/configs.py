@@ -36,6 +36,11 @@ class VersionPreset:
 
 
 def _latent_cfg(**kw) -> LatentDiffusionConfig:
+    # All latent presets train the DDPM in z-scored latent space (the
+    # reference's intended-but-dead check_and_normalize_latent,
+    # v1:1195-1201) — measured to fix the generated-latent scale blow-up
+    # the quality metrics caught (see diffusion/api.py NormalizedSampler).
+    kw.setdefault("normalize_latents", True)
     return LatentDiffusionConfig(**kw)
 
 

@@ -148,6 +148,66 @@ class DiffusionSampler:
         return self.event_shape[0]
 
 
+class NormalizedSampler:
+    """Latent-space codec around a sampler (the reference's intended-but-dead
+    `check_and_normalize_latent`, v1:1195-1201, made real).
+
+    The DDPM is trained in PER-DIM Z-SCORED latent space — the VAE posterior
+    is anisotropic (per-dim std 0.8-3.2 measured at reference depth) and
+    off-unit-scale, which leaves the reverse process mismatched against its
+    N(0,1) terminal distribution and lets underfit eps error amplify
+    (measured: generated latents at 30x the real scale after a
+    reference-schedule run; quality metrics caught it — utils/quality.py).
+
+    Contract: OUTPUTS are always denormalized to raw VAE-latent space (ready
+    for decode). `masked_denoise`/`sample_from` INPUTS are model-space
+    (unit-noise-scale) chains — their callers start from N(0,1) draws
+    (viz/denoise_path.py:59-64). `eps` stays model-space.
+    """
+
+    def __init__(self, inner: DiffusionSampler, mean: jax.Array, std: jax.Array):
+        self._inner = inner
+        self.mean = jnp.asarray(mean, jnp.float32)
+        self.std = jnp.asarray(std, jnp.float32)
+        self.sched = inner.sched
+        self.event_shape = inner.event_shape
+        self.model = inner.model
+        self.params = inner.params
+
+    def _denorm(self, x):
+        return x * self.std + self.mean
+
+    def normalize(self, x):
+        """Raw VAE latents -> model space (for training-side consumers)."""
+        return (x - self.mean) / self.std
+
+    def sample(self, rng, batch, *cond):
+        return self._denorm(self._inner.sample(rng, batch, *cond))
+
+    def sample_from(self, rng, x_t, t_start, *cond):
+        return self._denorm(self._inner.sample_from(rng, x_t, t_start, *cond))
+
+    def masked_denoise(self, rng, x_init, t_start_vec, *cond):
+        return self._denorm(
+            self._inner.masked_denoise(rng, x_init, t_start_vec, *cond)
+        )
+
+    def sample_with_trajectory(self, rng, batch, *cond):
+        final, traj = self._inner.sample_with_trajectory(rng, batch, *cond)
+        return self._denorm(final), self._denorm(traj)
+
+    def ddim(self, rng, batch, *cond, num_steps: int = 50):
+        return self._denorm(self._inner.ddim(rng, batch, *cond,
+                                             num_steps=num_steps))
+
+    def eps(self, x, t, *cond):
+        return self._inner.eps(x, t, *cond)
+
+    @property
+    def latent_dim(self) -> int:
+        return self._inner.latent_dim
+
+
 class FusedDiffusionSampler(DiffusionSampler):
     """DiffusionSampler whose `sample` uses the whole-process Pallas kernel
     (latent pipeline only; ~30x the XLA scan at small batches)."""

@@ -211,7 +211,11 @@ class PipelineRunner:
 
         # ---- Latent diffusion: resume + train (v1:1340-1405). ----
         lat_cfg = dataclasses.replace(preset.latent, steps_per_epoch=steps_per_epoch)
-        diff = LatentDiffusionTrainer(lat_cfg, vae, diff_rng)
+        latent_stats = None
+        if lat_cfg.normalize_latents:
+            latent_stats = self._compute_latent_stats(vae, vae_params)
+        diff = LatentDiffusionTrainer(lat_cfg, vae, diff_rng,
+                                      latent_stats=latent_stats)
         diff_ckpt = CheckpointManager(os.path.join(self.results_dir, "ckpt_diffusion"))
         start_epoch = 0
         if checkpoint_path:
@@ -330,6 +334,30 @@ class PipelineRunner:
     # ------------------------------------------------------------------ #
     # Helpers
     # ------------------------------------------------------------------ #
+
+    def _compute_latent_stats(self, vae: FlowerVAE, vae_params):
+        """Per-dim mean/std of the trained VAE's sampled posterior over the
+        train set (deterministic: fixed reparam key), for z-scored DDPM
+        training (LatentDiffusionConfig.normalize_latents). Recomputed on
+        resume — same encoder, same key, same stats — and also saved to
+        latent_stats.npz for serving/inspection."""
+
+        @jax.jit
+        def enc(p, x, key):
+            mu, logvar = vae.apply(
+                {"params": p}, x, method=FlowerVAE.encode_with_params
+            )
+            return FlowerVAE.reparameterize(key, mu, logvar)
+
+        imgs, _ = self.train_ds.full()[:2]
+        z = enc(vae_params, imgs, jax.random.key(self.seed + 3))
+        mean = jnp.mean(z, axis=0)
+        std = jnp.maximum(jnp.std(z, axis=0), 1e-3)
+        np.savez(os.path.join(self.results_dir, "latent_stats.npz"),
+                 mean=np.asarray(mean), std=np.asarray(std))
+        print(f"latent stats: |mean| {float(jnp.abs(mean).mean()):.3f}, "
+              f"std range [{float(std.min()):.3f}, {float(std.max()):.3f}]")
+        return mean, std
 
     def _quality_report(self, sampler, encode_mu_fn):
         """Classifier accuracy on generated samples + latent MMD, appended to

@@ -46,7 +46,10 @@ class SamplingService:
         sched: Optional[DiffusionSchedule] = None,
         use_fused: Optional[bool] = None,
         buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+        latent_stats=None,
     ):
+        """latent_stats: (mean, std) per-dim arrays when the model was
+        trained z-scored (runner saves them as latent_stats.npz)."""
         self.model = model
         self.params = params
         self.sched = sched or linear_schedule()
@@ -57,6 +60,10 @@ class SamplingService:
         assert self.buckets, "need at least one bucket size"
         cls = FusedDiffusionSampler if use_fused else DiffusionSampler
         self.sampler = cls(model, params, self.sched, (model.latent_dim,))
+        if latent_stats is not None:
+            from flowerdiff.diffusion.api import NormalizedSampler
+
+            self.sampler = NormalizedSampler(self.sampler, *latent_stats)
         self._vae_params = (
             vae_params if "params" in vae_params else {"params": vae_params}
         )

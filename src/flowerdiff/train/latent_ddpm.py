@@ -47,6 +47,13 @@ class LatentDiffusionConfig:
     shared_cond_proj: bool = True
     global_skip: bool = False  # True for the v2 preset
     compute_dtype: str = "float32"
+    # Train the DDPM in per-dim z-scored latent space (the reference's
+    # intended-but-dead check_and_normalize_latent, v1:1195-1201). Stats are
+    # computed by the runner from the trained VAE's posterior and threaded
+    # through the step; sampling denormalizes (diffusion/api.py
+    # NormalizedSampler). Measured effect: artifacts/demo_v1_ref vs the
+    # normalized rerun (quality metrics in sample_quality.jsonl).
+    normalize_latents: bool = False
 
 
 def create_latent_diffusion_state(
@@ -96,7 +103,8 @@ def make_latent_diffusion_step(
     weights live in HBM once and the step never recompiles when they change.
     """
 
-    def step(state: TrainState, vae_params, sched_arg, images, labels, colors, rng):
+    def step(state: TrainState, vae_params, sched_arg, images, labels, colors,
+             rng, latent_stats=None):
         # the schedule tables arrive as ARGUMENTS: on the axon platform,
         # programs with embedded array constants pay a large per-call penalty
         rng = jax.random.fold_in(rng, state.step)
@@ -108,6 +116,9 @@ def make_latent_diffusion_step(
         )
         z = FlowerVAE.reparameterize(enc_rng, mu, logvar)
         z = jax.lax.stop_gradient(z)
+        if latent_stats is not None:
+            mean, std = latent_stats
+            z = (z - mean) / std
 
         def loss_fn(params):
             def eps_fn(xt, t, *cond):
@@ -128,10 +139,19 @@ def make_latent_diffusion_step(
 
 
 class LatentDiffusionTrainer:
-    def __init__(self, cfg: LatentDiffusionConfig, vae: FlowerVAE, rng: jax.Array):
+    def __init__(self, cfg: LatentDiffusionConfig, vae: FlowerVAE, rng: jax.Array,
+                 latent_stats=None):
+        """latent_stats: optional (mean, std) per-dim arrays for z-scored
+        training (cfg.normalize_latents); supplied by the runner from the
+        trained VAE posterior."""
         self.cfg = cfg
         self.state, self.model, self.sched = create_latent_diffusion_state(rng, cfg)
         self.vae = vae
+        self.latent_stats = latent_stats if cfg.normalize_latents else None
+        if cfg.normalize_latents and latent_stats is None:
+            raise ValueError(
+                "cfg.normalize_latents=True requires latent_stats (mean, std)"
+            )
         self._step = make_latent_diffusion_step(self.model, vae, self.sched, cfg)
 
     def run_epoch(self, batches, vae_params, rng: jax.Array) -> float:
@@ -144,19 +164,27 @@ class LatentDiffusionTrainer:
                 colors = None
             self.state, loss = self._step(
                 self.state, vae_params, self.sched, images, labels, colors,
-                jax.random.fold_in(rng, i),
+                jax.random.fold_in(rng, i), self.latent_stats,
             )
             total = loss if total is None else total + loss
             count += 1
         return float(total) / count
 
     def sampler(self, fused: bool = False):
-        """Jitted sampling facade over the current params (diffusion/api.py)."""
-        from flowerdiff.diffusion.api import DiffusionSampler, FusedDiffusionSampler
+        """Jitted sampling facade over the current params (diffusion/api.py);
+        wrapped in the latent codec when training is z-scored."""
+        from flowerdiff.diffusion.api import (
+            DiffusionSampler,
+            FusedDiffusionSampler,
+            NormalizedSampler,
+        )
 
         cls = FusedDiffusionSampler if fused else DiffusionSampler
-        return cls(self.model, {"params": self.state.params}, self.sched,
-                   (self.cfg.latent_dim,))
+        sampler = cls(self.model, {"params": self.state.params}, self.sched,
+                      (self.cfg.latent_dim,))
+        if self.latent_stats is not None:
+            sampler = NormalizedSampler(sampler, *self.latent_stats)
+        return sampler
 
     def eps_fn(self, params=None, deterministic: bool = True):
         params = self.state.params if params is None else params
