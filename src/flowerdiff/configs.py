@@ -38,9 +38,12 @@ class VersionPreset:
 def _latent_cfg(**kw) -> LatentDiffusionConfig:
     # All latent presets train the DDPM in z-scored latent space (the
     # reference's intended-but-dead check_and_normalize_latent,
-    # v1:1195-1201) — measured to fix the generated-latent scale blow-up
-    # the quality metrics caught (see diffusion/api.py NormalizedSampler).
+    # v1:1195-1201) and sample with x0-thresholding at 3 posterior-sigmas —
+    # both measured to fix the generated-latent scale blow-up the quality
+    # metrics caught (see diffusion/api.py NormalizedSampler and
+    # ddpm.clip_eps_for_x0).
     kw.setdefault("normalize_latents", True)
+    kw.setdefault("clip_denoised", 3.0)
     return LatentDiffusionConfig(**kw)
 
 

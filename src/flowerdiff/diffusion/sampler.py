@@ -37,6 +37,7 @@ def _reverse_scan(
     cond: tuple,
     t_start: int,
     collect: bool,
+    clip_x0: float | None = None,
 ):
     """Scan t = t_start-1 .. 0 applying the ancestral step.
 
@@ -51,7 +52,7 @@ def _reverse_scan(
         t_vec = jnp.full((x.shape[0],), t, dtype=jnp.int32)
         eps_theta = eps_fn(x, t_vec, *cond)
         noise = jax.random.normal(nkey, x.shape, dtype=x.dtype)
-        x = p_sample(sched, x, t_vec, eps_theta, noise)
+        x = p_sample(sched, x, t_vec, eps_theta, noise, clip_x0)
         return (x, key, t - 1), (x if collect else None)
 
     t0 = jnp.int32(t_start - 1)
@@ -68,11 +69,13 @@ def sample(
     shape: tuple,
     *cond: jax.Array,
     dtype=jnp.float32,
+    clip_x0: float | None = None,
 ) -> jax.Array:
     """Full ancestral sampling from pure noise (v1:594-598 as one scan)."""
     init_key, scan_key = jax.random.split(rng)
     x = jax.random.normal(init_key, shape, dtype=dtype)
-    x, _ = _reverse_scan(sched, eps_fn, scan_key, x, cond, sched.n_steps, False)
+    x, _ = _reverse_scan(sched, eps_fn, scan_key, x, cond, sched.n_steps, False,
+                         clip_x0)
     return x
 
 
@@ -83,10 +86,11 @@ def sample_from(
     x_t: jax.Array,
     t_start: int,
     *cond: jax.Array,
+    clip_x0: float | None = None,
 ) -> jax.Array:
     """Denoise an existing x_t from timestep `t_start` down to 0 — the
     denoising-path visualization's inner loop (v1:686-694) as one scan."""
-    x, _ = _reverse_scan(sched, eps_fn, rng, x_t, cond, t_start, False)
+    x, _ = _reverse_scan(sched, eps_fn, rng, x_t, cond, t_start, False, clip_x0)
     return x
 
 
@@ -97,12 +101,14 @@ def sample_with_trajectory(
     shape: tuple,
     *cond: jax.Array,
     dtype=jnp.float32,
+    clip_x0: float | None = None,
 ):
     """Full sampling, returning (x0, trajectory) with trajectory[i] = state
     after the step at t = n_steps-1-i (so trajectory[-1] == x0)."""
     init_key, scan_key = jax.random.split(rng)
     x = jax.random.normal(init_key, shape, dtype=dtype)
-    x, traj = _reverse_scan(sched, eps_fn, scan_key, x, cond, sched.n_steps, True)
+    x, traj = _reverse_scan(sched, eps_fn, scan_key, x, cond, sched.n_steps,
+                            True, clip_x0)
     return x, traj
 
 
@@ -115,6 +121,7 @@ def ddim_sample(
     num_steps: int = 50,
     eta: float = 0.0,
     dtype=jnp.float32,
+    clip_x0: float | None = None,
 ) -> jax.Array:
     """DDIM sampling over `num_steps` strided timesteps (eta=0: deterministic)."""
     init_key, scan_key = jax.random.split(rng)
@@ -137,6 +144,9 @@ def ddim_sample(
         abar_t = _bcast(sched.alpha_bar[t_vec], x)
         abar_prev = _bcast(abar_full[t_prev + 1] * jnp.ones_like(sched.alpha_bar[t_vec]), x)
         x0_pred = (x - jnp.sqrt(1.0 - abar_t) * eps_theta) / jnp.sqrt(abar_t)
+        if clip_x0 is not None:
+            x0_pred = jnp.clip(x0_pred, -clip_x0, clip_x0)
+            eps_theta = (x - jnp.sqrt(abar_t) * x0_pred) / jnp.sqrt(1.0 - abar_t)
         sigma = (
             eta
             * jnp.sqrt((1.0 - abar_prev) / (1.0 - abar_t))

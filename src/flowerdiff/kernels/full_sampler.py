@@ -70,7 +70,8 @@ def _normal(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
 
-def _make_kernel(n_stages: int, n_steps: int, stochastic: bool):
+def _make_kernel(n_stages: int, n_steps: int, stochastic: bool,
+                 clip_x0: float | None = None):
     def kernel(*refs):
         it = iter(refs)
 
@@ -127,6 +128,11 @@ def _make_kernel(n_stages: int, n_steps: int, stochastic: bool):
             a = alpha_ref[t, 0]
             ab = abar_ref[t, 0]
             b = beta_ref[t, 0]
+            if clip_x0 is not None:
+                # x0-thresholding (ddpm.clip_eps_for_x0 semantics in-kernel)
+                x0 = (x - jnp.sqrt(1.0 - ab) * eps) * jax.lax.rsqrt(ab)
+                x0 = jnp.clip(x0, -clip_x0, clip_x0)
+                eps = (x - jnp.sqrt(ab) * x0) * jax.lax.rsqrt(1.0 - ab)
             mean = (x - ((1.0 - a) / jnp.sqrt(1.0 - ab)) * eps) * jax.lax.rsqrt(a)
             if stochastic:
                 keep = (t > 0).astype(jnp.float32)
@@ -214,7 +220,7 @@ def _cond_adds_from(params, cond, color, n_stages, shared_cond_proj, num_colors)
 )
 def _run(params, prep, sched_tables, rng, cond, color,
          n_stages, time_emb_dim, n_steps, stochastic, interpret, latent_dim,
-         shared_cond_proj, num_colors, batch):
+         shared_cond_proj, num_colors, batch, clip_x0=None):
     """ONE jitted program for the whole request: x_init draw, seed derivation,
     time-invariant conditioning projections, and the Pallas kernel call.
     (An eager prefix of ~15 small dispatches cost ~40ms through the axon
@@ -229,6 +235,7 @@ def _run(params, prep, sched_tables, rng, cond, color,
         prep, sched_tables, x_init, cond_adds, cond_final, seed,
         n_stages=n_stages, time_emb_dim=time_emb_dim, n_steps=n_steps,
         stochastic=stochastic, interpret=interpret, latent_dim=latent_dim,
+        clip_x0=clip_x0,
     )
 
 
@@ -236,14 +243,14 @@ def _run(params, prep, sched_tables, rng, cond, color,
     jax.jit,
     static_argnames=(
         "n_stages", "time_emb_dim", "n_steps", "stochastic", "interpret",
-        "latent_dim",
+        "latent_dim", "clip_x0",
     ),
 )
 def _pallas_reverse(prep, sched_tables, x_init, cond_adds, cond_final, seed,
                     n_stages, time_emb_dim, n_steps, stochastic, interpret,
-                    latent_dim):
+                    latent_dim, clip_x0=None):
     batch = x_init.shape[0]
-    kernel = _make_kernel(n_stages, n_steps, stochastic)
+    kernel = _make_kernel(n_stages, n_steps, stochastic, clip_x0)
     beta2, alpha2, abar2 = sched_tables
 
     half = time_emb_dim // 2
@@ -289,6 +296,7 @@ def fused_sample(
     interpret: Optional[bool] = None,
     prep: Optional[dict] = None,
     x_init: Optional[jax.Array] = None,
+    clip_x0: Optional[float] = None,
 ) -> jax.Array:
     """Full ancestral sampling (v1:594-598 semantics) as one Pallas kernel.
 
@@ -310,7 +318,7 @@ def fused_sample(
     statics = dict(
         n_stages=n_stages, time_emb_dim=model.time_emb_dim,
         n_steps=sched.n_steps, stochastic=stochastic, interpret=interpret,
-        latent_dim=latent_dim,
+        latent_dim=latent_dim, clip_x0=clip_x0,
     )
     if x_init is not None:
         # test/debug path with an explicit starting state: conditioning and

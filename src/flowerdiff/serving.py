@@ -47,9 +47,12 @@ class SamplingService:
         use_fused: Optional[bool] = None,
         buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
         latent_stats=None,
+        clip_x0: Optional[float] = None,
     ):
         """latent_stats: (mean, std) per-dim arrays when the model was
-        trained z-scored (runner saves them as latent_stats.npz)."""
+        trained z-scored (runner saves them as latent_stats.npz).
+        clip_x0: sampling-time x0-thresholding bound (match the training
+        preset's clip_denoised)."""
         self.model = model
         self.params = params
         self.sched = sched or linear_schedule()
@@ -59,7 +62,8 @@ class SamplingService:
         self.buckets = tuple(sorted(buckets))
         assert self.buckets, "need at least one bucket size"
         cls = FusedDiffusionSampler if use_fused else DiffusionSampler
-        self.sampler = cls(model, params, self.sched, (model.latent_dim,))
+        self.sampler = cls(model, params, self.sched, (model.latent_dim,),
+                           clip_x0=clip_x0)
         if latent_stats is not None:
             from flowerdiff.diffusion.api import NormalizedSampler
 

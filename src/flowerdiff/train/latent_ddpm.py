@@ -54,6 +54,9 @@ class LatentDiffusionConfig:
     # NormalizedSampler). Measured effect: artifacts/demo_v1_ref vs the
     # normalized rerun (quality metrics in sample_quality.jsonl).
     normalize_latents: bool = False
+    # Sampling-time x0-thresholding bound (ddpm.clip_eps_for_x0), in z-scored
+    # units when normalize_latents. None = the reference's unclipped sampler.
+    clip_denoised: Optional[float] = None
 
 
 def create_latent_diffusion_state(
@@ -181,7 +184,7 @@ class LatentDiffusionTrainer:
 
         cls = FusedDiffusionSampler if fused else DiffusionSampler
         sampler = cls(self.model, {"params": self.state.params}, self.sched,
-                      (self.cfg.latent_dim,))
+                      (self.cfg.latent_dim,), clip_x0=self.cfg.clip_denoised)
         if self.latent_stats is not None:
             sampler = NormalizedSampler(sampler, *self.latent_stats)
         return sampler
