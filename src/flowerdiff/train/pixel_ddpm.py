@@ -28,6 +28,10 @@ class PixelDiffusionConfig:
     time_emb_dim: int = 128
     learnable_residual: bool = False  # True for the v5 preset (v5:54,144)
     compute_dtype: str = "float32"
+    # Sampling-time x0-thresholding (ddpm.clip_eps_for_x0). Pixel data lives
+    # in [0,1], so 1.0 safely bounds the x0-estimate; None = the reference's
+    # unclipped sampler (v4:155-168).
+    clip_denoised: float | None = 1.0
 
 
 def create_pixel_diffusion_state(
@@ -87,6 +91,7 @@ class PixelDiffusionTrainer:
         return DiffusionSampler(
             self.model, {"params": self.state.params}, self.sched,
             (self.cfg.img_size, self.cfg.img_size, 3),
+            clip_x0=self.cfg.clip_denoised,
         )
 
     def eps_fn(self, params=None):
