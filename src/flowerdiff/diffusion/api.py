@@ -57,14 +57,34 @@ def _masked_scan(sched, eps_fn, rng, x_init, t_start, *cond, clip_x0=None):
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled(model, event_shape: tuple, clip_x0):
+def _compiled(model, event_shape: tuple, clip_x0, guidance_scale=None):
     """Build (and cache) the jitted sampling programs for a
-    model/shape/clipping combination. The schedule tables enter every program
-    as ARGUMENTS — embedded array constants carry a large per-call penalty on
-    the axon TPU platform (see BASELINE.md)."""
+    model/shape/clipping/guidance combination. The schedule tables enter every
+    program as ARGUMENTS — embedded array constants carry a large per-call
+    penalty on the axon TPU platform (see BASELINE.md).
 
-    def eps(p, x, t, *cond):
-        return model.apply(p, x, t, *cond)
+    guidance_scale (classifier-free guidance, Ho & Salimans 2022): the model
+    runs on a doubled batch — conditional and null-condition halves — and
+    eps = eps_u + s * (eps_c - eps_u). Requires a model trained with
+    condition dropout (LatentDiffusionConfig.cond_dropout)."""
+
+    if guidance_scale is None:
+        def eps(p, x, t, *cond):
+            return model.apply(p, x, t, *cond)
+    else:
+        s = float(guidance_scale)
+
+        def eps(p, x, t, *cond):
+            b = x.shape[0]
+            x2 = jnp.concatenate([x, x])
+            t2 = jnp.concatenate([t, t])
+            cond2 = tuple(jnp.concatenate([c, c]) for c in cond)
+            mask = jnp.concatenate(
+                [jnp.ones((b,), jnp.float32), jnp.zeros((b,), jnp.float32)]
+            )
+            e = model.apply(p, x2, t2, *cond2, cond_mask=mask)
+            e_c, e_u = e[:b], e[b:]
+            return e_u + s * (e_c - e_u)
 
     @functools.partial(jax.jit, static_argnames=("batch",))
     def sample_jit(p, sched, key, batch, *cond):
@@ -113,17 +133,21 @@ class DiffusionSampler:
         sched: DiffusionSchedule,
         event_shape: Tuple[int, ...],
         clip_x0: float | None = None,
+        guidance_scale: float | None = None,
     ):
         """clip_x0: static x0-thresholding bound applied at every reverse
         step (ddpm.clip_eps_for_x0); None reproduces the reference's
-        unclipped sampler exactly."""
+        unclipped sampler exactly. guidance_scale: classifier-free guidance
+        (see _compiled); None = plain conditional sampling."""
         self.model = model
         self.params = params if "params" in params else {"params": params}
         self.sched = sched
         self.event_shape = tuple(event_shape)
         self.clip_x0 = clip_x0
+        self.guidance_scale = guidance_scale
         (self._sample_jit, self._masked_jit, self._traj_jit, self._ddim_jit,
-         self._eps_jit) = _compiled(model, self.event_shape, clip_x0)
+         self._eps_jit) = _compiled(model, self.event_shape, clip_x0,
+                                    guidance_scale)
 
     def sample(self, rng: jax.Array, batch: int, *cond) -> jax.Array:
         """Full ancestral sampling (v1:594-598) in one compiled program."""
@@ -221,8 +245,10 @@ class FusedDiffusionSampler(DiffusionSampler):
     (latent pipeline only; ~30x the XLA scan at small batches)."""
 
     def __init__(self, model, params, sched, event_shape, interpret=None,
-                 clip_x0: float | None = None):
-        super().__init__(model, params, sched, event_shape, clip_x0=clip_x0)
+                 clip_x0: float | None = None,
+                 guidance_scale: float | None = None):
+        super().__init__(model, params, sched, event_shape, clip_x0=clip_x0,
+                         guidance_scale=guidance_scale)
         from flowerdiff.kernels.full_sampler import prepare_fused_sampler
 
         self._prep = prepare_fused_sampler(model, self.params)
@@ -231,6 +257,10 @@ class FusedDiffusionSampler(DiffusionSampler):
     def sample(self, rng, batch: int, *cond) -> jax.Array:
         from flowerdiff.kernels.full_sampler import fused_sample
 
+        if self.guidance_scale is not None:
+            # CFG needs the doubled cond/uncond evaluation — the XLA scan
+            # path implements it; the single-pass kernel stays unguided.
+            return super().sample(rng, batch, *cond)
         color = cond[1] if len(cond) > 1 else None
         return fused_sample(
             self.model, self.params, self.sched, rng, batch, cond[0],

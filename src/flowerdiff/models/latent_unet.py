@@ -66,7 +66,11 @@ class ConditionalLatentDenoiser(nn.Module):
         color: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
+        cond_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """cond_mask: optional (B,) 0/1 floats — 0 zeroes the condition
+        embedding for that sample (the null condition for classifier-free
+        guidance; beyond-reference capability, no extra parameters)."""
         hidden = tuple(self.hidden_dims)
         x_input = x
 
@@ -80,6 +84,8 @@ class ConditionalLatentDenoiser(nn.Module):
             c_base = ClassEmbedding(
                 self.num_classes, self.time_emb_dim, name="cond_emb"
             )(cond)
+        if cond_mask is not None:
+            c_base = c_base * cond_mask[:, None].astype(c_base.dtype)
 
         h = nn.Dense(hidden[0], kernel_init=kaiming_init, dtype=self.dtype,
                      name="latent_proj")(x)

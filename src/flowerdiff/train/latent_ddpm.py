@@ -57,6 +57,12 @@ class LatentDiffusionConfig:
     # Sampling-time x0-thresholding bound (ddpm.clip_eps_for_x0), in z-scored
     # units when normalize_latents. None = the reference's unclipped sampler.
     clip_denoised: Optional[float] = None
+    # Classifier-free guidance (beyond-reference): cond_dropout is the
+    # per-sample probability of training with the null condition;
+    # guidance_scale > 1 sharpens class identity at sampling (api.py
+    # _compiled). 0.0/None reproduce the reference's plain conditioning.
+    cond_dropout: float = 0.0
+    guidance_scale: Optional[float] = None
 
 
 def create_latent_diffusion_state(
@@ -111,7 +117,7 @@ def make_latent_diffusion_step(
         # the schedule tables arrive as ARGUMENTS: on the axon platform,
         # programs with embedded array constants pay a large per-call penalty
         rng = jax.random.fold_in(rng, state.step)
-        enc_rng, loss_rng, drop_rng = jax.random.split(rng, 3)
+        enc_rng, loss_rng, drop_rng, cfg_rng = jax.random.split(rng, 4)
 
         # Frozen-VAE latent encode (v1:1257-1259) — no grads flow.
         mu, logvar = vae.apply(
@@ -123,11 +129,19 @@ def make_latent_diffusion_step(
             mean, std = latent_stats
             z = (z - mean) / std
 
+        cond_mask = None
+        if cfg.cond_dropout > 0.0:
+            keep = jax.random.bernoulli(
+                cfg_rng, 1.0 - cfg.cond_dropout, (images.shape[0],)
+            )
+            cond_mask = keep.astype(jnp.float32)
+
         def loss_fn(params):
             def eps_fn(xt, t, *cond):
                 return model.apply(
                     {"params": params}, xt, t, *cond,
                     deterministic=False, rngs={"dropout": drop_rng},
+                    cond_mask=cond_mask,
                 )
 
             cond = (labels,) if colors is None else (labels, colors)
@@ -184,7 +198,8 @@ class LatentDiffusionTrainer:
 
         cls = FusedDiffusionSampler if fused else DiffusionSampler
         sampler = cls(self.model, {"params": self.state.params}, self.sched,
-                      (self.cfg.latent_dim,), clip_x0=self.cfg.clip_denoised)
+                      (self.cfg.latent_dim,), clip_x0=self.cfg.clip_denoised,
+                      guidance_scale=self.cfg.guidance_scale)
         if self.latent_stats is not None:
             sampler = NormalizedSampler(sampler, *self.latent_stats)
         return sampler
