@@ -76,6 +76,32 @@ def test_bucketing_reuses_one_program_across_request_sizes():
     assert seen == [4, 4, 4]
 
 
+def test_service_with_latent_stats_and_clip():
+    """Codec + clipping compose with bucketing: outputs come back in raw
+    latent space, sliced to the request size."""
+    model = ConditionalLatentDenoiser(
+        latent_dim=16, hidden_dims=(16, 32, 16), time_emb_dim=16, num_classes=6
+    )
+    vae = FlowerVAE(latent_dim=16, num_classes=6,
+                    channels=(8, 16, 24, 32), head_width=32)
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 16)), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32))
+    vae_params = vae.init({"params": rng}, jnp.zeros((1, 64, 64, 3)), rng,
+                          method=FlowerVAE.init_all)
+    mean = jnp.full((16,), 2.0)
+    std = jnp.full((16,), 0.5)
+    service = SamplingService(model, params, vae, vae_params,
+                              sched=linear_schedule(8), use_fused=False,
+                              buckets=(4,), latent_stats=(mean, std),
+                              clip_x0=3.0)
+    lat = service.sample_latents(jnp.array([1, 2, 3]), jax.random.key(1))
+    assert lat.shape == (3, 16)
+    # model space is clipped near [-3-ish, 3-ish]; raw = z*0.5 + 2
+    assert float(lat.mean()) > 0.5  # shifted by the mean -> clearly raw space
+    assert bool(jnp.isfinite(lat).all())
+
+
 def test_warmup_covers_buckets():
     service = _tiny_service(buckets=(4,))
     seen = []
