@@ -257,13 +257,9 @@ class FusedDiffusionSampler(DiffusionSampler):
     def sample(self, rng, batch: int, *cond) -> jax.Array:
         from flowerdiff.kernels.full_sampler import fused_sample
 
-        if self.guidance_scale is not None:
-            # CFG needs the doubled cond/uncond evaluation — the XLA scan
-            # path implements it; the single-pass kernel stays unguided.
-            return super().sample(rng, batch, *cond)
         color = cond[1] if len(cond) > 1 else None
         return fused_sample(
             self.model, self.params, self.sched, rng, batch, cond[0],
             color=color, prep=self._prep, interpret=self._interpret,
-            clip_x0=self.clip_x0,
+            clip_x0=self.clip_x0, guidance_scale=self.guidance_scale,
         )

@@ -71,7 +71,8 @@ def _normal(shape):
 
 
 def _make_kernel(n_stages: int, n_steps: int, stochastic: bool,
-                 clip_x0: float | None = None):
+                 clip_x0: float | None = None,
+                 guidance_scale: float | None = None):
     def kernel(*refs):
         it = iter(refs)
 
@@ -101,30 +102,43 @@ def _make_kernel(n_stages: int, n_steps: int, stochastic: bool,
         if stochastic:
             pltpu.prng_seed(seed_ref[0, 0])
 
-        def eps_model(x, t_f32):
+        def time_base(t_f32):
             # Sinusoidal time embedding (core/embeddings.py semantics).
             args = t_f32 * freqs_ref[:]
             emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
             tb = _mm(emb, tw1[:], tb1[:])
             tb = tb * jax.nn.sigmoid(tb)
-            t_base = _mm(tb, tw2[:], tb2[:])  # (1, temb)
+            return _mm(tb, tw2[:], tb2[:])  # (1, temb)
 
+        def eps_model(x, t_base, use_cond=True):
+            # use_cond=False runs the null-condition branch for in-kernel
+            # classifier-free guidance (zeroed condition adds).
             h = _mm(x, wl[:], bl[:])
             for s in stages:
-                h = h + _mm(t_base, s["wt"][:], s["bt"][:]) + s["cond"][:]
+                h = h + _mm(t_base, s["wt"][:], s["bt"][:])
+                if use_cond:
+                    h = h + s["cond"][:]
                 u = _ln(_mm(h, s["wb"][:], s["bb"][:]), s["g1"][:], s["b1"][:])
                 u = u * jax.nn.sigmoid(u)
                 h = h + u
                 hn = _ln(h, s["g2"][:], s["b2"][:])
                 h = h + _mm(_mm(hn, s["wv"][:], s["bv"][:]), s["wo"][:], s["bo"][:])
                 h = _mm(h, s["wd"][:], s["bd"][:])
-            h = h + _mm(t_base, wtf[:], btf[:]) + cond_f[:]
+            h = h + _mm(t_base, wtf[:], btf[:])
+            if use_cond:
+                h = h + cond_f[:]
             h = _ln(h, gf[:], bff[:])
             return _mm(h, wf[:], bf_[:])
 
         def step(i, x):
             t = n_steps - 1 - i
-            eps = eps_model(x, jnp.float32(t))
+            t_base = time_base(jnp.float32(t))
+            if guidance_scale is None:
+                eps = eps_model(x, t_base)
+            else:
+                eps_c = eps_model(x, t_base, use_cond=True)
+                eps_u = eps_model(x, t_base, use_cond=False)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
             a = alpha_ref[t, 0]
             ab = abar_ref[t, 0]
             b = beta_ref[t, 0]
@@ -216,11 +230,13 @@ def _cond_adds_from(params, cond, color, n_stages, shared_cond_proj, num_colors)
     static_argnames=(
         "n_stages", "time_emb_dim", "n_steps", "stochastic", "interpret",
         "latent_dim", "shared_cond_proj", "num_colors", "batch",
+        "clip_x0", "guidance_scale",
     ),
 )
 def _run(params, prep, sched_tables, rng, cond, color,
          n_stages, time_emb_dim, n_steps, stochastic, interpret, latent_dim,
-         shared_cond_proj, num_colors, batch, clip_x0=None):
+         shared_cond_proj, num_colors, batch, clip_x0=None,
+         guidance_scale=None):
     """ONE jitted program for the whole request: x_init draw, seed derivation,
     time-invariant conditioning projections, and the Pallas kernel call.
     (An eager prefix of ~15 small dispatches cost ~40ms through the axon
@@ -235,7 +251,7 @@ def _run(params, prep, sched_tables, rng, cond, color,
         prep, sched_tables, x_init, cond_adds, cond_final, seed,
         n_stages=n_stages, time_emb_dim=time_emb_dim, n_steps=n_steps,
         stochastic=stochastic, interpret=interpret, latent_dim=latent_dim,
-        clip_x0=clip_x0,
+        clip_x0=clip_x0, guidance_scale=guidance_scale,
     )
 
 
@@ -243,14 +259,15 @@ def _run(params, prep, sched_tables, rng, cond, color,
     jax.jit,
     static_argnames=(
         "n_stages", "time_emb_dim", "n_steps", "stochastic", "interpret",
-        "latent_dim", "clip_x0",
+        "latent_dim", "clip_x0", "guidance_scale",
     ),
 )
 def _pallas_reverse(prep, sched_tables, x_init, cond_adds, cond_final, seed,
                     n_stages, time_emb_dim, n_steps, stochastic, interpret,
-                    latent_dim, clip_x0=None):
+                    latent_dim, clip_x0=None, guidance_scale=None):
     batch = x_init.shape[0]
-    kernel = _make_kernel(n_stages, n_steps, stochastic, clip_x0)
+    kernel = _make_kernel(n_stages, n_steps, stochastic, clip_x0,
+                          guidance_scale)
     beta2, alpha2, abar2 = sched_tables
 
     half = time_emb_dim // 2
@@ -297,6 +314,7 @@ def fused_sample(
     prep: Optional[dict] = None,
     x_init: Optional[jax.Array] = None,
     clip_x0: Optional[float] = None,
+    guidance_scale: Optional[float] = None,
 ) -> jax.Array:
     """Full ancestral sampling (v1:594-598 semantics) as one Pallas kernel.
 
@@ -319,6 +337,7 @@ def fused_sample(
         n_stages=n_stages, time_emb_dim=model.time_emb_dim,
         n_steps=sched.n_steps, stochastic=stochastic, interpret=interpret,
         latent_dim=latent_dim, clip_x0=clip_x0,
+        guidance_scale=guidance_scale,
     )
     if x_init is not None:
         # test/debug path with an explicit starting state: conditioning and

@@ -104,6 +104,42 @@ def test_fused_full_sampler_deterministic_matches_xla():
                                atol=3e-2 * scale)
 
 
+def test_fused_full_sampler_guided_matches_xla():
+    """In-kernel classifier-free guidance (guidance_scale) must match the
+    explicit guided deterministic recursion: eps = e_u + s*(e_c - e_u) with
+    the null condition as a zeroed embedding (cond_mask=0)."""
+    from flowerdiff.diffusion import linear_schedule
+    from flowerdiff.diffusion.ddpm import p_sample_mean
+    from flowerdiff.kernels.full_sampler import fused_sample
+
+    model = ConditionalLatentDenoiser(
+        latent_dim=128, hidden_dims=(128, 256, 128), time_emb_dim=128,
+        num_classes=11,
+    )
+    c = jnp.arange(8) % 11
+    params = model.init(
+        jax.random.key(1), jnp.zeros((8, 128)), jnp.zeros((8,), jnp.int32), c
+    )
+    sched = linear_schedule(5)
+    rng = jax.random.key(7)
+    s = 2.5
+    out = fused_sample(model, params, sched, rng, 8, c, stochastic=False,
+                       interpret=True, guidance_scale=s)
+
+    init_key, _ = jax.random.split(rng)
+    xr = jax.random.normal(init_key, (8, 128))
+    ones = jnp.ones((8,), jnp.float32)
+    zeros = jnp.zeros((8,), jnp.float32)
+    for t in range(4, -1, -1):
+        tv = jnp.full((8,), t, jnp.int32)
+        e_c = model.apply(params, xr, tv, c, cond_mask=ones)
+        e_u = model.apply(params, xr, tv, c, cond_mask=zeros)
+        xr = p_sample_mean(sched, xr, tv, e_u + s * (e_c - e_u))
+    scale = float(jnp.abs(xr).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xr),
+                               atol=3e-2 * scale)
+
+
 def test_fused_full_sampler_v3_conditioning():
     from flowerdiff.diffusion import linear_schedule
     from flowerdiff.kernels.full_sampler import fused_sample
