@@ -129,6 +129,12 @@ class DeviceDataset:
             jax.device_put(jnp.asarray(colors, jnp.int32), sharding)
             if colors is not None else None
         )
+        # Augmentation policy is exposed so the fused-epoch path
+        # (train/fused.py) can rebuild the identical augment program
+        # inside its scan body.
+        self.augment_enabled = augment
+        self.max_rotation_deg = max_rotation_deg
+        self.jitter = jitter
         self._augment = (
             make_augment_fn(max_rotation_deg, jitter) if augment else None
         )

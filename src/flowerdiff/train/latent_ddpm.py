@@ -100,13 +100,15 @@ def create_latent_diffusion_state(
     return state, model, sched
 
 
-def make_latent_diffusion_step(
+def make_latent_diffusion_step_body(
     model: ConditionalLatentDenoiser,
     vae: FlowerVAE,
     sched: DiffusionSchedule,
     cfg: LatentDiffusionConfig,
 ):
-    """step(state, vae_params, images, labels[, colors], rng) -> (state, loss).
+    """UN-jitted step (traceable; jitted standalone by
+    make_latent_diffusion_step, or scanned by train/fused.py):
+    step(state, vae_params, images, labels[, colors], rng) -> (state, loss).
 
     vae_params are an argument (not a closure constant) so the frozen encoder
     weights live in HBM once and the step never recompiles when they change.
@@ -152,7 +154,20 @@ def make_latent_diffusion_step(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss
 
-    return jax.jit(step, donate_argnums=(0,), static_argnames=())
+    return step
+
+
+def make_latent_diffusion_step(
+    model: ConditionalLatentDenoiser,
+    vae: FlowerVAE,
+    sched: DiffusionSchedule,
+    cfg: LatentDiffusionConfig,
+):
+    """Jitted single-batch step (see make_latent_diffusion_step_body)."""
+    return jax.jit(
+        make_latent_diffusion_step_body(model, vae, sched, cfg),
+        donate_argnums=(0,),
+    )
 
 
 class LatentDiffusionTrainer:
@@ -170,6 +185,7 @@ class LatentDiffusionTrainer:
                 "cfg.normalize_latents=True requires latent_stats (mean, std)"
             )
         self._step = make_latent_diffusion_step(self.model, vae, self.sched, cfg)
+        self._fused = {}  # (T, B, augment) -> jitted multi-epoch fn
 
     def run_epoch(self, batches, vae_params, rng: jax.Array) -> float:
         total, count = None, 0
@@ -186,6 +202,39 @@ class LatentDiffusionTrainer:
             total = loss if total is None else total + loss
             count += 1
         return float(total) / count
+
+    def run_epochs_fused(self, dataset, epochs: int, vae_params,
+                         rng: jax.Array, batch_size: int = 64, mesh=None):
+        """Train `epochs` epochs in ONE device dispatch (train/fused.py).
+        `dataset` is a data.DeviceDataset (with colors for the v3 preset).
+        Returns per-epoch mean losses (one host fetch for the chunk)."""
+        import numpy as np
+
+        from flowerdiff.train.fused import epoch_rows, make_fused_latent_epochs
+
+        host_seed = int(jax.random.randint(
+            jax.random.fold_in(rng, 1), (), 0, 2**31 - 1
+        ))
+        idx, offsets, steps = epoch_rows(host_seed, dataset.n, batch_size, epochs)
+
+        has_colors = self.cfg.num_colors is not None
+        key = (idx.shape[0], idx.shape[1], dataset.augment_enabled,
+               mesh is not None)
+        if key not in self._fused:
+            self._fused[key] = make_fused_latent_epochs(
+                self.model, self.vae, self.sched, self.cfg,
+                has_colors=has_colors, augment=dataset.augment_enabled,
+                max_rotation_deg=dataset.max_rotation_deg,
+                jitter=dataset.jitter, mesh=mesh,
+            )
+        step_rng, data_key = jax.random.split(jax.random.fold_in(rng, 2))
+        self.state, losses = self._fused[key](
+            self.state, vae_params, self.sched, dataset.images, dataset.labels,
+            dataset.colors if has_colors else None, idx, offsets,
+            step_rng, data_key, self.latent_stats,
+        )
+        losses = np.asarray(jax.device_get(losses)).reshape(epochs, steps)
+        return losses.mean(axis=1).tolist()
 
     def sampler(self, fused: bool = False):
         """Jitted sampling facade over the current params (diffusion/api.py);

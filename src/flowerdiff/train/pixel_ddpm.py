@@ -52,7 +52,10 @@ def create_pixel_diffusion_state(
     return state, model, sched
 
 
-def make_pixel_diffusion_step(model: PixelUNet, sched: DiffusionSchedule):
+def make_pixel_diffusion_step_body(model: PixelUNet, sched: DiffusionSchedule):
+    """UN-jitted step (traceable; jitted standalone by
+    make_pixel_diffusion_step, or scanned by train/fused.py)."""
+
     def step(state: TrainState, sched_arg, images, rng):
         # schedule tables as arguments (axon embedded-constant penalty)
         rng = jax.random.fold_in(rng, state.step)
@@ -66,7 +69,12 @@ def make_pixel_diffusion_step(model: PixelUNet, sched: DiffusionSchedule):
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_pixel_diffusion_step(model: PixelUNet, sched: DiffusionSchedule):
+    """Jitted single-batch step (see make_pixel_diffusion_step_body)."""
+    return jax.jit(make_pixel_diffusion_step_body(model, sched), donate_argnums=(0,))
 
 
 class PixelDiffusionTrainer:
@@ -74,6 +82,7 @@ class PixelDiffusionTrainer:
         self.cfg = cfg
         self.state, self.model, self.sched = create_pixel_diffusion_state(rng, cfg)
         self._step = make_pixel_diffusion_step(self.model, self.sched)
+        self._fused = {}  # (T, B, augment) -> jitted multi-epoch fn
 
     def run_epoch(self, batches, rng: jax.Array) -> float:
         total, count = None, 0
@@ -84,6 +93,34 @@ class PixelDiffusionTrainer:
             total = loss if total is None else total + loss
             count += 1
         return float(total) / count
+
+    def run_epochs_fused(self, dataset, epochs: int, rng: jax.Array,
+                         batch_size: int = 64, mesh=None):
+        """Train `epochs` epochs in ONE device dispatch (train/fused.py).
+        Returns per-epoch mean losses (one host fetch for the chunk)."""
+        import numpy as np
+
+        from flowerdiff.train.fused import epoch_rows, make_fused_pixel_epochs
+
+        host_seed = int(jax.random.randint(
+            jax.random.fold_in(rng, 1), (), 0, 2**31 - 1
+        ))
+        idx, offsets, steps = epoch_rows(host_seed, dataset.n, batch_size, epochs)
+        key = (idx.shape[0], idx.shape[1], dataset.augment_enabled,
+               mesh is not None)
+        if key not in self._fused:
+            self._fused[key] = make_fused_pixel_epochs(
+                self.model, self.cfg, augment=dataset.augment_enabled,
+                max_rotation_deg=dataset.max_rotation_deg,
+                jitter=dataset.jitter, mesh=mesh,
+            )
+        step_rng, data_key = jax.random.split(jax.random.fold_in(rng, 2))
+        self.state, losses = self._fused[key](
+            self.state, self.sched, dataset.images, idx, offsets,
+            step_rng, data_key,
+        )
+        losses = np.asarray(jax.device_get(losses)).reshape(epochs, steps)
+        return losses.mean(axis=1).tolist()
 
     def sampler(self):
         from flowerdiff.diffusion.api import DiffusionSampler

@@ -122,13 +122,14 @@ def create_vae_gan_state(
     return state, vae, disc
 
 
-def make_vae_gan_step(
+def make_vae_gan_step_body(
     vae: FlowerVAE,
     disc: Discriminator64,
     cfg: VAEGANConfig,
     vgg: Optional[VGGPerceptual] = None,
 ):
-    """Build the jitted train step.
+    """Build the UN-jitted train step (traceable; used standalone under jit by
+    make_vae_gan_step, or inside a lax.scan by train/fused.py).
 
     step(state, images, labels, gates, rng, vgg_params) -> (new_state, metrics)
       gates: LossGates as a float32 vector of length 5.
@@ -235,7 +236,17 @@ def make_vae_gan_step(
         new_state = VAEGANState(gen=new_gen, disc=new_disc, centers=centers)
         return new_state, aux
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_vae_gan_step(
+    vae: FlowerVAE,
+    disc: Discriminator64,
+    cfg: VAEGANConfig,
+    vgg: Optional[VGGPerceptual] = None,
+):
+    """Jitted single-batch train step (see make_vae_gan_step_body)."""
+    return jax.jit(make_vae_gan_step_body(vae, disc, cfg, vgg), donate_argnums=(0,))
 
 
 def gates_array(g: LossGates) -> jnp.ndarray:
@@ -259,6 +270,7 @@ class VAEGANTrainer:
         self.vgg = vgg
         self.vgg_params = vgg.params if (cfg.use_perceptual and vgg) else None
         self.step_fn = make_vae_gan_step(self.vae, self.disc, cfg, vgg)
+        self._fused = {}  # (T, B, augment) -> jitted multi-epoch fn
 
     def run_epoch(self, batches, epoch: int, num_epochs: int, rng: jax.Array):
         """batches: iterable of (images, labels) device arrays. Returns the
@@ -283,3 +295,51 @@ class VAEGANTrainer:
             count += 1
         means = jax.tree.map(lambda a: a / count, totals)
         return {k: float(v) for k, v in jax.device_get(means).items()}
+
+    def run_epochs_fused(self, dataset, start_epoch: int, num_epochs_total: int,
+                         epochs: int, rng: jax.Array, batch_size: int = 64,
+                         mesh=None):
+        """Train `epochs` consecutive epochs (starting at absolute epoch
+        `start_epoch` for gate staging) in ONE device dispatch
+        (train/fused.py). `dataset` is a data.DeviceDataset. Returns the
+        per-epoch mean metrics dicts (one host fetch for the whole chunk)."""
+        import numpy as np
+
+        from flowerdiff.train.fused import epoch_rows, make_fused_vae_gan_epochs
+        from flowerdiff.train.schedules import vae_gan_loss_gates
+
+        host_seed = int(jax.random.randint(
+            jax.random.fold_in(rng, 1), (), 0, 2**31 - 1
+        ))
+        idx, offsets, steps = epoch_rows(
+            host_seed, dataset.n, batch_size, epochs
+        )
+        gates = np.stack([
+            np.asarray(gates_array(vae_gan_loss_gates(
+                start_epoch + e, num_epochs_total,
+                self.cfg.kl_weight_start, self.cfg.kl_weight_end,
+            )))
+            for e in range(epochs)
+        ])  # (E, 5)
+        gates = jnp.asarray(np.repeat(gates, steps, axis=0))  # (T, 5)
+
+        key = (idx.shape[0], idx.shape[1], dataset.augment_enabled,
+               mesh is not None)
+        if key not in self._fused:
+            self._fused[key] = make_fused_vae_gan_epochs(
+                self.vae, self.disc, self.cfg, self.vgg,
+                augment=dataset.augment_enabled,
+                max_rotation_deg=dataset.max_rotation_deg,
+                jitter=dataset.jitter, mesh=mesh,
+            )
+        step_rng, data_key = jax.random.split(jax.random.fold_in(rng, 2))
+        self.state, metrics = self._fused[key](
+            self.state, dataset.images, dataset.labels, idx, offsets, gates,
+            step_rng, data_key, self.vgg_params,
+        )
+        metrics = jax.device_get(metrics)  # dict of (T,)
+        out = []
+        for e in range(epochs):
+            sl = slice(e * steps, (e + 1) * steps)
+            out.append({k: float(np.mean(v[sl])) for k, v in metrics.items()})
+        return out

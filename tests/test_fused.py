@@ -1,0 +1,270 @@
+"""Fused multi-epoch dispatch (train/fused.py) == per-step loop.
+
+The fused path must be SEMANTICALLY IDENTICAL to the loop path: same step
+body, same gather+augment program, same RNG scheme (row r uses
+fold_in(rng, offsets[r]) / fold_in(data_key, offsets[r])). These tests run
+both on the same index plan and assert loss-trajectory and parameter
+equivalence.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowerdiff.data.pipeline import DeviceDataset, make_augment_fn
+from flowerdiff.train.fused import (
+    epoch_rows,
+    make_fused_latent_epochs,
+    make_fused_pixel_epochs,
+    make_fused_vae_gan_epochs,
+)
+from flowerdiff.train.latent_ddpm import (
+    LatentDiffusionConfig,
+    LatentDiffusionTrainer,
+    create_latent_diffusion_state,
+    make_latent_diffusion_step,
+)
+from flowerdiff.train.pixel_ddpm import (
+    PixelDiffusionConfig,
+    PixelDiffusionTrainer,
+    create_pixel_diffusion_state,
+    make_pixel_diffusion_step,
+)
+from flowerdiff.train.schedules import vae_gan_loss_gates
+from flowerdiff.train.vae_gan import (
+    VAEGANConfig,
+    VAEGANTrainer,
+    create_vae_gan_state,
+    gates_array,
+    make_vae_gan_step,
+)
+
+N, B, H = 12, 4, 64  # tiny dataset / batch; Discriminator64 needs 64x64
+
+
+def _dataset(rng=0, colors=False):
+    r = np.random.default_rng(rng)
+    images = r.integers(0, 256, (N, H, H, 3), dtype=np.uint8)
+    labels = r.integers(0, 5, (N,), dtype=np.int64)
+    cols = r.integers(0, 3, (N,), dtype=np.int64) if colors else None
+    return DeviceDataset(images, labels, colors=cols)
+
+
+def _loop_gather(ds, idx_row, data_key, offset):
+    aug = make_augment_fn(ds.max_rotation_deg, ds.jitter)
+    imgs = jnp.take(ds.images, idx_row, axis=0).astype(jnp.float32) / 255.0
+    return aug(imgs, jax.random.fold_in(data_key, offset))
+
+
+def _tree_close(a, b, rtol=2e-4, atol=1e-5):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=rtol, atol=atol
+        )
+
+
+def _params_close_to_update_scale(init, a, b, k=3.0):
+    """Per-leaf |a-b| <= k * max|update| + eps.
+
+    Adam is scale-invariant: a leaf whose TRUE gradient is ~0 still gets an
+    lr-sized update whose direction is float-noise, and the fused scan and
+    the per-step loop are different XLA compilations so that noise differs.
+    Two paths can therefore disagree by O(update) on such leaves; a real
+    wiring bug (wrong LR position, wrong gates, skipped step) shifts leaves
+    by >> k updates relative to each other over meaningful leaves — and is
+    caught far more sharply by the loss-trajectory assertions anyway."""
+    for x0, xa, xb in zip(
+        jax.tree.leaves(init), jax.tree.leaves(a), jax.tree.leaves(b)
+    ):
+        x0, xa, xb = (np.asarray(v, np.float64) for v in (x0, xa, xb))
+        upd = max(np.max(np.abs(xa - x0)), np.max(np.abs(xb - x0)))
+        assert np.max(np.abs(xa - xb)) <= k * upd + 1e-12
+
+
+def test_fused_latent_epochs_match_loop():
+    ds = _dataset()
+    cfg = LatentDiffusionConfig(
+        latent_dim=8, hidden_dims=(16, 16), time_emb_dim=8, num_classes=5,
+        steps_per_epoch=N // B, n_steps=50,
+    )
+    rng = jax.random.key(0)
+    state, model, sched = create_latent_diffusion_state(rng, cfg)
+    state_l = jax.tree.map(jnp.copy, state)
+
+    # Tiny VAE to supply frozen encoder params.
+    vae_cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=10,
+    )
+    vstate, vae, _ = create_vae_gan_state(jax.random.key(1), vae_cfg, img_size=H)
+    vae_params = vstate.gen.params
+
+    idx, offsets, steps = epoch_rows(0, N, B, epochs=2)
+    step_rng, data_key = jax.random.key(2), jax.random.key(3)
+
+    fused = make_fused_latent_epochs(model, vae, sched, cfg)
+    state_f, losses_f = fused(
+        state, vae_params, sched, ds.images, ds.labels, None, idx, offsets,
+        step_rng, data_key, None,
+    )
+
+    step = make_latent_diffusion_step(model, vae, sched, cfg)
+    losses_l = []
+    for r in range(idx.shape[0]):
+        imgs = _loop_gather(ds, idx[r], data_key, offsets[r])
+        labs = jnp.take(ds.labels, idx[r], axis=0)
+        state_l, loss = step(
+            state_l, vae_params, sched, imgs, labs, None,
+            jax.random.fold_in(step_rng, offsets[r]), None,
+        )
+        losses_l.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(losses_f), np.asarray(losses_l), rtol=2e-5, atol=1e-6
+    )
+    assert int(state_f.step) == int(state_l.step) == idx.shape[0]
+    _tree_close(state_f.params, state_l.params)
+
+
+def test_fused_vae_gan_epochs_match_loop_across_gate_boundary():
+    ds = _dataset()
+    cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=12,
+    )
+    rng = jax.random.key(0)
+    state, vae, disc = create_vae_gan_state(rng, cfg, img_size=H)
+    state_l = jax.tree.map(jnp.copy, state)
+    init_gen = jax.tree.map(np.asarray, state.gen.params)
+    init_disc = jax.tree.map(np.asarray, state.disc.params)
+
+    epochs, steps = 2, N // B
+    idx, offsets, _ = epoch_rows(0, N, B, epochs=epochs)
+    # Absolute epochs 59 and 60 cross the KL/center gate stage boundary
+    # (train/schedules.py): per-row gates must switch mid-dispatch.
+    gate_rows = [
+        gates_array(vae_gan_loss_gates(59 + e, 300)) for e in range(epochs)
+    ]
+    gates = jnp.asarray(np.repeat(np.stack(gate_rows), steps, axis=0))
+    assert not np.allclose(gate_rows[0], gate_rows[1])
+    step_rng, data_key = jax.random.key(2), jax.random.key(3)
+
+    fused = make_fused_vae_gan_epochs(vae, disc, cfg)
+    state_f, metrics_f = fused(
+        state, ds.images, ds.labels, idx, offsets, gates, step_rng, data_key,
+        None,
+    )
+
+    step = make_vae_gan_step(vae, disc, cfg)
+    totals_l = []
+    for r in range(idx.shape[0]):
+        imgs = _loop_gather(ds, idx[r], data_key, offsets[r])
+        labs = jnp.take(ds.labels, idx[r], axis=0)
+        state_l, m = step(
+            state_l, imgs, labs, gates[r],
+            jax.random.fold_in(step_rng, offsets[r]), None,
+        )
+        totals_l.append(float(m["total"]))
+
+    np.testing.assert_allclose(
+        np.asarray(metrics_f["total"]), np.asarray(totals_l),
+        rtol=2e-5, atol=1e-6,
+    )
+    assert int(state_f.step) == int(state_l.step) == idx.shape[0]
+    _params_close_to_update_scale(init_gen, state_f.gen.params, state_l.gen.params)
+    _params_close_to_update_scale(init_disc, state_f.disc.params, state_l.disc.params)
+    _tree_close(state_f.centers, state_l.centers)
+
+
+def test_fused_pixel_epochs_match_loop():
+    ds = _dataset()
+    cfg = PixelDiffusionConfig(img_size=H, base_channels=8, time_emb_dim=8,
+                               n_steps=50)
+    state, model, sched = create_pixel_diffusion_state(jax.random.key(0), cfg)
+    state_l = jax.tree.map(jnp.copy, state)
+
+    idx, offsets, _ = epoch_rows(0, N, B, epochs=2)
+    step_rng, data_key = jax.random.key(2), jax.random.key(3)
+
+    fused = make_fused_pixel_epochs(model, cfg)
+    state_f, losses_f = fused(
+        state, sched, ds.images, idx, offsets, step_rng, data_key
+    )
+
+    step = make_pixel_diffusion_step(model, sched)
+    losses_l = []
+    for r in range(idx.shape[0]):
+        imgs = _loop_gather(ds, idx[r], data_key, offsets[r])
+        state_l, loss = step(
+            state_l, sched, imgs, jax.random.fold_in(step_rng, offsets[r])
+        )
+        losses_l.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(losses_f), np.asarray(losses_l), rtol=2e-5, atol=1e-6
+    )
+    _tree_close(state_f.params, state_l.params)
+
+
+def test_trainer_fused_methods_smoke():
+    ds = _dataset(colors=False)
+    vae_cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=12,
+    )
+    trainer = VAEGANTrainer(vae_cfg, jax.random.key(0), img_size=H)
+    hist = trainer.run_epochs_fused(
+        ds, start_epoch=0, num_epochs_total=4, epochs=2,
+        rng=jax.random.key(1), batch_size=B,
+    )
+    assert len(hist) == 2 and all(np.isfinite(h["total"]) for h in hist)
+    assert int(trainer.state.step) == 2 * (N // B)
+
+    lat_cfg = LatentDiffusionConfig(
+        latent_dim=8, hidden_dims=(16, 16), time_emb_dim=8, num_classes=5,
+        steps_per_epoch=N // B, n_steps=50,
+    )
+    lt = LatentDiffusionTrainer(lat_cfg, trainer.vae, jax.random.key(2))
+    losses = lt.run_epochs_fused(
+        ds, epochs=3, vae_params=trainer.state.gen.params,
+        rng=jax.random.key(3), batch_size=B,
+    )
+    assert len(losses) == 3 and all(np.isfinite(x) for x in losses)
+    assert int(lt.state.step) == 3 * (N // B)
+
+    px_cfg = PixelDiffusionConfig(img_size=H, base_channels=8, time_emb_dim=8,
+                                  n_steps=50)
+    pt = PixelDiffusionTrainer(px_cfg, jax.random.key(4))
+    losses = pt.run_epochs_fused(ds, epochs=2, rng=jax.random.key(5),
+                                 batch_size=B)
+    assert len(losses) == 2 and all(np.isfinite(x) for x in losses)
+
+
+def test_fused_latent_with_colors():
+    ds = _dataset(colors=True)
+    cfg = LatentDiffusionConfig(
+        latent_dim=8, hidden_dims=(16, 16), time_emb_dim=8, num_classes=5,
+        num_colors=3, steps_per_epoch=N // B, n_steps=50,
+    )
+    vae_cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=10,
+    )
+    vstate, vae, _ = create_vae_gan_state(jax.random.key(1), vae_cfg, img_size=H)
+    lt = LatentDiffusionTrainer(cfg, vae, jax.random.key(2))
+    losses = lt.run_epochs_fused(
+        ds, epochs=2, vae_params=vstate.gen.params, rng=jax.random.key(3),
+        batch_size=B,
+    )
+    assert len(losses) == 2 and all(np.isfinite(x) for x in losses)
+
+
+def test_epoch_rows_plan():
+    idx, offsets, steps = epoch_rows(0, 10, 3, epochs=2)
+    assert steps == 3 and idx.shape == (6, 3) and offsets.shape == (6,)
+    # offsets restart each epoch (mirrors the loop path's per-epoch fold)
+    assert list(np.asarray(offsets)) == [0, 1, 2, 0, 1, 2]
+    # each epoch's rows are drawn without replacement from a permutation
+    for e in range(2):
+        flat = np.asarray(idx[e * steps:(e + 1) * steps]).ravel()
+        assert len(set(flat.tolist())) == len(flat)
