@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the final sample-grid/paths/GIF sweep (v1:1406-1429)")
     p.add_argument("--no-cadence-viz", action="store_true",
                    help="train without per-cadence visualization artifacts")
+    p.add_argument("--no-fused-epochs", action="store_true",
+                   help="dispatch one program per batch instead of one per "
+                        "epoch-chunk (train/fused.py); keeps the reference's "
+                        "per-epoch best-checkpoint granularity")
     return p
 
 
@@ -104,6 +108,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         seed=args.seed,
         mesh=mesh,
         synthetic_size=args.synthetic_size,
+        fused_epochs=not args.no_fused_epochs,
     )
     if preset.pixel is not None:
         runner.run_pixel(epochs=args.total_epochs, batch_size=args.batch_size)

@@ -74,10 +74,15 @@ class PipelineRunner:
         seed: int = 42,
         mesh=None,
         synthetic_size: int = 512,
+        fused_epochs: bool = True,
     ):
         self.preset = preset
         self.seed = seed
         self.mesh = mesh
+        # One device dispatch per epoch-chunk (train/fused.py) instead of one
+        # per batch. Capped so a reference-width VAE-GAN chunk stays ~10-20s.
+        self.fused_epochs = fused_epochs
+        self.max_epochs_per_dispatch = 50
         is_pixel = preset.pixel is not None
         self.results_dir = results_dir or (
             "./oxford_flowers_image_diffusion" if is_pixel
@@ -111,6 +116,16 @@ class PipelineRunner:
         # The reference visualizes from the TEST split (v1:663,796); without
         # the real dataset the train images stand in.
         self.test_images, self.test_labels = self.train_ds.full()[:2]
+
+    def _chunk_size(self, epoch: int, total: int, cadence: Optional[int]) -> int:
+        """Epochs for the next fused dispatch: never crosses a viz/checkpoint
+        cadence boundary (so cadence artifacts still appear at the same
+        absolute epochs as the per-step loop) and never exceeds the cap."""
+        n = min(self.max_epochs_per_dispatch, total - epoch)
+        if cadence:
+            to_boundary = cadence - (epoch % cadence)
+            n = min(n, to_boundary)
+        return max(1, n)
 
     def _load_data(self, data_root, dataset, synthetic_size):
         if dataset in ("auto", "flowers102"):
@@ -165,19 +180,31 @@ class PipelineRunner:
             best_tree = None
             best_epoch = 0
             ep_rng = np.random.default_rng(self.seed)
-            for epoch in range(vae_epochs):
-                batches = self.train_ds.batches(ep_rng, batch_size)
-                if self.preset.latent.num_colors is not None:
-                    batches = ((img, lab) for img, lab, _col in batches)
-                metrics = trainer.run_epoch(
-                    batches, epoch, vae_epochs, jax.random.fold_in(vae_rng, epoch)
-                )
-                history.append(metrics)
-                print(
-                    f"Epoch {epoch + 1}/{vae_epochs}, "
-                    + ", ".join(f"{k}: {v:.6f}" for k, v in sorted(metrics.items()))
-                )
-                if metrics["total"] < best:
+            epoch = 0
+            while epoch < vae_epochs:
+                if self.fused_epochs:
+                    n = self._chunk_size(epoch, vae_epochs, preset.vae_visualize_every)
+                    chunk = trainer.run_epochs_fused(
+                        self.train_ds, epoch, vae_epochs, n,
+                        jax.random.fold_in(vae_rng, epoch), batch_size,
+                        mesh=self.mesh,
+                    )
+                else:
+                    batches = self.train_ds.batches(ep_rng, batch_size)
+                    if self.preset.latent.num_colors is not None:
+                        batches = ((img, lab) for img, lab, _col in batches)
+                    chunk = [trainer.run_epoch(
+                        batches, epoch, vae_epochs,
+                        jax.random.fold_in(vae_rng, epoch),
+                    )]
+                for off, metrics in enumerate(chunk):
+                    history.append(metrics)
+                    print(
+                        f"Epoch {epoch + off + 1}/{vae_epochs}, "
+                        + ", ".join(f"{k}: {v:.6f}" for k, v in sorted(metrics.items()))
+                    )
+                totals = [m["total"] for m in chunk]
+                if min(totals) < best:
                     # Best-checkpoint policy (v1:1177-1182). The best state is
                     # held on device and persisted at the viz cadence + at the
                     # end — a per-epoch 69M-param disk write would dominate
@@ -186,15 +213,21 @@ class PipelineRunner:
                     # into a past state get deleted by later steps. FULL
                     # state (gen+disc incl. optimizer moments + centers) so
                     # resume is exact (reference saves G+D dicts, v1:1188-1191).
-                    best = metrics["total"]
-                    best_epoch = epoch
+                    # With fused epoch-chunks (train/fused.py) the snapshot is
+                    # the CHUNK-END state — epoch-exact best snapshots would
+                    # need a per-epoch param copy inside the scan; the loop
+                    # path (fused_epochs=False) keeps the reference-exact
+                    # per-epoch policy.
+                    best = min(totals)
+                    best_epoch = epoch + len(chunk) - 1
                     best_tree = jax.tree.map(
                         jnp.copy, vae_gan_state_to_tree(trainer.state)
                     )
-                if (epoch + 1) % preset.vae_visualize_every == 0 or epoch == vae_epochs - 1:
+                epoch += len(chunk)
+                if epoch % preset.vae_visualize_every == 0 or epoch == vae_epochs:
                     if best_tree is not None:
                         vae_ckpt.save(best_epoch, best_tree)
-                    self._vae_viz(trainer, epoch + 1)
+                    self._vae_viz(trainer, epoch)
             if best_tree is not None:
                 vae_ckpt.save(best_epoch, best_tree)
             vae_ckpt.save(vae_epochs, vae_gan_state_to_tree(trainer.state))
@@ -233,15 +266,30 @@ class PipelineRunner:
 
         diff_losses = []
         ep_rng = np.random.default_rng(self.seed + 1)
-        for epoch in range(start_epoch, total_epochs):
-            batches = self.train_ds.batches(ep_rng, batch_size)
-            loss = diff.run_epoch(batches, vae_params, jax.random.fold_in(diff_rng, epoch))
-            diff_losses.append(loss)
-            print(f"Epoch {epoch + 1}/{total_epochs}, Average Loss: {loss:.6f}")
-            if (epoch + 1) % preset.diffusion_visualize_every == 0 or epoch == total_epochs - 1:
+        epoch = start_epoch
+        while epoch < total_epochs:
+            if self.fused_epochs:
+                n = self._chunk_size(
+                    epoch, total_epochs, preset.diffusion_visualize_every
+                )
+                chunk = diff.run_epochs_fused(
+                    self.train_ds, n, vae_params,
+                    jax.random.fold_in(diff_rng, epoch), batch_size,
+                    mesh=self.mesh,
+                )
+            else:
+                batches = self.train_ds.batches(ep_rng, batch_size)
+                chunk = [diff.run_epoch(
+                    batches, vae_params, jax.random.fold_in(diff_rng, epoch)
+                )]
+            for off, loss in enumerate(chunk):
+                diff_losses.append(loss)
+                print(f"Epoch {epoch + off + 1}/{total_epochs}, Average Loss: {loss:.6f}")
+            epoch += len(chunk)
+            if epoch % preset.diffusion_visualize_every == 0 or epoch == total_epochs:
                 if cadence_viz:
-                    self._diffusion_viz(diff, decode_fn, encode_mu_fn, epoch + 1)
-                diff_ckpt.save(epoch + 1, state_to_tree(diff.state))
+                    self._diffusion_viz(diff, decode_fn, encode_mu_fn, epoch)
+                diff_ckpt.save(epoch, state_to_tree(diff.state))
         if diff_losses:
             diff_ckpt.save(total_epochs, state_to_tree(diff.state))
             viz.plot_single_loss_curve(
@@ -276,27 +324,37 @@ class PipelineRunner:
         else:
             ep_rng = np.random.default_rng(self.seed)
             rng = jax.random.key(self.seed + 2)
-            for epoch in range(epochs):
-                loss = trainer.run_epoch(
-                    self.train_ds.batches(ep_rng, batch_size),
-                    jax.random.fold_in(rng, epoch),
-                )
-                print(f"Diffusion Epoch {epoch + 1}/{epochs}, Loss: {loss:.4f}")
+            epoch = 0
+            while epoch < epochs:
+                if self.fused_epochs:
+                    n = self._chunk_size(epoch, epochs, preset.pixel_visualize_every)
+                    chunk = trainer.run_epochs_fused(
+                        self.train_ds, n, jax.random.fold_in(rng, epoch),
+                        batch_size, mesh=self.mesh,
+                    )
+                else:
+                    chunk = [trainer.run_epoch(
+                        self.train_ds.batches(ep_rng, batch_size),
+                        jax.random.fold_in(rng, epoch),
+                    )]
+                for off, loss in enumerate(chunk):
+                    print(f"Diffusion Epoch {epoch + off + 1}/{epochs}, Loss: {loss:.4f}")
+                epoch += len(chunk)
                 if (
                     preset.pixel_visualize_every
-                    and (epoch + 1) % preset.pixel_visualize_every == 0
-                ):  # v5:268-273
+                    and epoch % preset.pixel_visualize_every == 0
+                ):  # v5:268-273 (0-based epoch in the artifact names)
                     sampler = trainer.sampler()
                     generate_pixel_samples_grid(
                         sampler,
                         save_path=os.path.join(
-                            self.results_dir, f"samples_grid_epoch_{epoch}.png"
+                            self.results_dir, f"samples_grid_epoch_{epoch - 1}.png"
                         ),
                     )
                     create_pixel_diffusion_animation(
                         sampler,
                         save_path=os.path.join(
-                            self.results_dir, f"diffusion_animation_epoch_{epoch}.gif"
+                            self.results_dir, f"diffusion_animation_epoch_{epoch - 1}.gif"
                         ),
                     )
             ckpt.save(epochs, state_to_tree(trainer.state))
