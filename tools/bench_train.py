@@ -99,6 +99,76 @@ def main():
         bench(step, (state, images, labels, gates, rng, None),
               "vae_gan (bf16 compute)")
 
+    if which in ("all", "fused", "fused_epochs"):
+        # Whole-epoch dispatches (train/fused.py) vs the per-batch loop, on
+        # the REAL path (device-resident dataset, gather+augment included).
+        import numpy as np
+
+        from flowerdiff.data.pipeline import DeviceDataset
+        from flowerdiff.train.latent_ddpm import LatentDiffusionTrainer
+        from flowerdiff.train.vae_gan import VAEGANTrainer
+
+        n_data = 1024  # ~Flowers102 train-split scale; 16 steps/epoch @ b64
+        r = np.random.default_rng(0)
+        ds = DeviceDataset(
+            r.integers(0, 256, (n_data, 64, 64, 3), dtype=np.uint8),
+            r.integers(0, 102, (n_data,), dtype=np.int64),
+        )
+        epochs = 10
+
+        def bench_epochs(run, label):
+            t0 = time.perf_counter()
+            run(0)
+            compile_s = time.perf_counter() - t0
+            times = []
+            for i in (1, 2):
+                t0 = time.perf_counter()
+                run(i)
+                times.append(time.perf_counter() - t0)
+            per_epoch = min(times) / epochs
+            print(f"{label:32s} first {compile_s:6.1f}s  epoch "
+                  f"{per_epoch*1000:8.2f}ms  {n_data/per_epoch:9.1f} img/s",
+                  flush=True)
+
+        vcfg = VAEGANConfig(total_steps=1200 * (n_data // BATCH))
+        vt = VAEGANTrainer(vcfg, rng)
+        bench_epochs(
+            lambda i: vt.run_epochs_fused(
+                ds, i * epochs, 1200, epochs, jax.random.fold_in(rng, i), BATCH
+            ),
+            "vae_gan full FUSED (10-ep chunk)",
+        )
+        vt2 = VAEGANTrainer(vcfg, rng)
+
+        def vae_loop(i):
+            ep = np.random.default_rng(i)
+            for e in range(epochs):
+                vt2.run_epoch(
+                    ((im, lb) for im, lb in ds.batches(ep, BATCH)),
+                    i * epochs + e, 1200, jax.random.fold_in(rng, i * epochs + e),
+                )
+        bench_epochs(vae_loop, "vae_gan full LOOP (per-batch)")
+
+        lcfg = LatentDiffusionConfig(steps_per_epoch=n_data // BATCH)
+        lt = LatentDiffusionTrainer(lcfg, vt.vae, rng)
+        vae_params = vt.state.gen.params
+        bench_epochs(
+            lambda i: lt.run_epochs_fused(
+                ds, epochs, vae_params, jax.random.fold_in(rng, 100 + i), BATCH
+            ),
+            "latent_ddpm FUSED (10-ep chunk)",
+        )
+        lt2 = LatentDiffusionTrainer(lcfg, vt.vae, rng)
+
+        def lat_loop(i):
+            ep = np.random.default_rng(i)
+            for e in range(epochs):
+                lt2.run_epoch(
+                    ds.batches(ep, BATCH), vae_params,
+                    jax.random.fold_in(rng, 200 + i * epochs + e),
+                )
+        bench_epochs(lat_loop, "latent_ddpm LOOP (per-batch)")
+
     if which in ("all", "latent_ddpm"):
         cfg = VAEGANConfig(total_steps=1000, use_perceptual=False)
         _, vae, _ = create_vae_gan_state(rng, cfg)
