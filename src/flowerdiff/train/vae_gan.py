@@ -330,7 +330,7 @@ class VAEGANTrainer:
                 self.vae, self.disc, self.cfg, self.vgg,
                 augment=dataset.augment_enabled,
                 max_rotation_deg=dataset.max_rotation_deg,
-                jitter=dataset.jitter, mesh=mesh,
+                jitter=dataset.jitter, mesh=mesh, steps_per_epoch=steps,
             )
         step_rng, data_key = jax.random.split(jax.random.fold_in(rng, 2))
         self.state, metrics = self._fused[key](

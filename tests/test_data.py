@@ -14,7 +14,7 @@ from flowerdiff.data.color_labels import (
     hsv_to_color_name,
     rgb_to_hsv,
 )
-from flowerdiff.data.pipeline import _rotate_bilinear
+from flowerdiff.data.pipeline import _rotate_bilinear, _rotate_bilinear_batch
 
 
 def test_synthetic_shapes_and_determinism():
@@ -37,6 +37,26 @@ def test_rotate_180_flips_both_axes():
     out = _rotate_bilinear(img, jnp.float32(np.pi))
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(img)[::-1, ::-1], atol=1e-4
+    )
+
+
+def test_rotate_batch_matches_gather():
+    """The einsum (MXU) rotation used by make_augment_fn reproduces the
+    4-tap-gather reference implementation exactly (separable bilinear
+    weights; zero fill = zero weight), across signs and magnitudes."""
+    imgs = jax.random.uniform(jax.random.key(0), (5, 16, 16, 3))
+    angles = jnp.array([-0.4, -0.05, 0.0, 0.17, 1.3], jnp.float32)
+    per_image = jax.vmap(_rotate_bilinear)(imgs, angles)
+    exact = _rotate_bilinear_batch(imgs, angles,
+                                   precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(
+        np.asarray(exact), np.asarray(per_image), atol=1e-5
+    )
+    # The production path (default = bf16-multiply matmuls on TPU) only
+    # needs augmentation-grade accuracy.
+    fast = _rotate_bilinear_batch(imgs, angles)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(per_image), atol=2e-2
     )
 
 
