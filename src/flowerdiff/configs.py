@@ -83,6 +83,19 @@ def get_preset(name: str) -> VersionPreset:
         raise ValueError(f"unknown version {name!r}; choose from {sorted(PRESETS)}")
 
 
+def bf16_preset(preset: VersionPreset) -> VersionPreset:
+    """Mixed-precision variant: conv/dense stacks compute in bfloat16,
+    params and optimizer state stay f32 (train/*.py compute_dtype). Measured
+    on v5e: VAE-GAN full-objective step 25.2 -> 16.6 ms (BASELINE.md); the
+    HBM-bound G+D double-backward is where the traffic saving lands."""
+    rep = {}
+    for field in ("vae", "latent", "pixel"):
+        cfg = getattr(preset, field)
+        if cfg is not None:
+            rep[field] = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    return dataclasses.replace(preset, **rep)
+
+
 def tiny_preset(preset: VersionPreset) -> VersionPreset:
     """Shrink every model in a preset for smoke runs / CI (reference
     capability shapes preserved, widths reduced)."""

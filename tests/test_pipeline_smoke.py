@@ -63,3 +63,25 @@ def test_v4_pixel_pipeline_smoke(tmp_path):
     assert (tmp_path / "samples_grid.png").exists()
     assert (tmp_path / "diffusion_animation.gif").exists()
     assert (tmp_path / "generated_pixel_diffusion.png").exists()  # v4:286
+
+
+@pytest.mark.slow
+def test_bf16_preset_trains(tmp_path):
+    """--bf16 lever (configs.bf16_preset): compute in bfloat16, params and
+    optimizer state stay f32, training runs and checkpoints end-to-end."""
+    from flowerdiff.configs import bf16_preset
+
+    preset = bf16_preset(tiny_preset(get_preset("v1")))
+    assert preset.vae.compute_dtype == "bfloat16"
+    assert preset.latent.compute_dtype == "bfloat16"
+    runner = PipelineRunner(
+        preset, results_dir=str(tmp_path), dataset="synthetic",
+        synthetic_size=24, seed=0,
+    )
+    trainer, diff = runner.run_latent(
+        total_epochs=1, vae_epochs=1, batch_size=8,
+        final_sweep=False, cadence_viz=False,
+    )
+    assert int(trainer.state.gen.step) >= 1
+    for leaf in jax.tree.leaves(trainer.state.gen.params):
+        assert leaf.dtype == np.float32  # master weights stay f32
