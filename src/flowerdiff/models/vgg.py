@@ -86,8 +86,12 @@ def load_vgg_params(path: Optional[str] = None, rng_seed: int = 0):
                 "bias": jnp.asarray(data[f"{name}_bias"]),
             }
         return params, True
-    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    params = model.init(jax.random.key(rng_seed), dummy)
+    # Jitted: eager flax init dispatches one tiny program per op, each a
+    # slow server-side compile on the tunneled runtime (train/vae_gan.py
+    # create_vae_gan_state has the measurements).
+    params = jax.jit(
+        lambda r: model.init(r, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    )(jax.random.key(rng_seed))
     return params, False
 
 

@@ -149,7 +149,24 @@ class CheckpointManager:
                 f"no checkpoint for step {step} in {self.directory}"
             )
         if like is not None:
-            return self._ckptr.restore(self._step_dir(step), like)
+            # Restore to HOST numpy, then upload the whole tree in one bulk
+            # device_put. Passing device arrays as `like` makes Orbax write
+            # each leaf to the device in small async chunks — measured
+            # ~1.3 MB/s effective on the tunneled runtime (655 s for an
+            # 864 MB VAE-GAN state) vs ~80 MB/s for bulk transfers.
+            import jax
+            import numpy as np
+
+            like_np = jax.tree.map(
+                lambda a: np.empty(getattr(a, "shape", ()),
+                                   getattr(a, "dtype", np.int64))
+                if hasattr(a, "shape") else a,
+                like,
+            )
+            restored = self._ckptr.restore(self._step_dir(step), like_np)
+            restored = jax.device_put(restored)
+            jax.block_until_ready(restored)
+            return restored
         return self._ckptr.restore(self._step_dir(step))
 
     def latest_step(self) -> Optional[int]:

@@ -79,13 +79,6 @@ def create_latent_diffusion_state(
         global_skip=cfg.global_skip,
         dtype=None if cfg.compute_dtype == "float32" else getattr(jnp, cfg.compute_dtype),
     )
-    dummy_z = jnp.zeros((1, cfg.latent_dim), jnp.float32)
-    dummy_t = jnp.zeros((1,), jnp.int32)
-    dummy_c = jnp.zeros((1,), jnp.int32)
-    if cfg.num_colors is not None:
-        params = model.init(rng, dummy_z, dummy_t, dummy_c, dummy_c)["params"]
-    else:
-        params = model.init(rng, dummy_z, dummy_t, dummy_c)["params"]
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(
@@ -95,7 +88,20 @@ def create_latent_diffusion_state(
             weight_decay=cfg.weight_decay,
         ),
     )
-    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    # One jitted program for init + optimizer-moment zeros (eager flax init
+    # dispatches hundreds of tiny programs; see create_vae_gan_state).
+    def _build(r):
+        dummy_z = jnp.zeros((1, cfg.latent_dim), jnp.float32)
+        dummy_t = jnp.zeros((1,), jnp.int32)
+        dummy_c = jnp.zeros((1,), jnp.int32)
+        if cfg.num_colors is not None:
+            params = model.init(r, dummy_z, dummy_t, dummy_c, dummy_c)["params"]
+        else:
+            params = model.init(r, dummy_z, dummy_t, dummy_c)["params"]
+        return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    state = jax.jit(_build)(rng)
     sched = linear_schedule(cfg.n_steps, cfg.beta_start, cfg.beta_end)
     return state, model, sched
 

@@ -43,11 +43,16 @@ def create_pixel_diffusion_state(
         learnable_residual=cfg.learnable_residual,
         dtype=None if cfg.compute_dtype == "float32" else getattr(jnp, cfg.compute_dtype),
     )
-    dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
-    params = model.init(rng, dummy, jnp.zeros((1,), jnp.int32))["params"]
-    state = TrainState.create(
-        apply_fn=model.apply, params=params, tx=optax.adam(cfg.lr)
-    )
+    # One jitted program for init + optimizer-moment zeros (eager flax init
+    # dispatches hundreds of tiny programs; see create_vae_gan_state).
+    def _build(r):
+        dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        params = model.init(r, dummy, jnp.zeros((1,), jnp.int32))["params"]
+        return TrainState.create(
+            apply_fn=model.apply, params=params, tx=optax.adam(cfg.lr)
+        )
+
+    state = jax.jit(_build)(rng)
     sched = linear_schedule(cfg.n_steps, cfg.beta_start, cfg.beta_end)
     return state, model, sched
 

@@ -96,13 +96,6 @@ def create_vae_gan_state(
         channels=tuple(cfg.channels), head_width=cfg.head_width, dtype=dtype,
     )
     disc = disc or Discriminator64(dtype=dtype)
-    g_key, d_key, z_key = jax.random.split(rng, 3)
-    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
-    g_params = vae.init({"params": g_key}, dummy, z_key, method=FlowerVAE.init_all)[
-        "params"
-    ]
-    d_params = disc.init(d_key, dummy)["params"]
-
     g_tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(
@@ -114,12 +107,25 @@ def create_vae_gan_state(
     )
     d_tx = optax.adam(cfg.d_lr, b1=cfg.d_betas[0], b2=cfg.d_betas[1])
 
-    state = VAEGANState(
-        gen=TrainState.create(apply_fn=vae.apply, params=g_params, tx=g_tx),
-        disc=TrainState.create(apply_fn=disc.apply, params=d_params, tx=d_tx),
-        centers=jnp.zeros((cfg.num_classes, cfg.latent_dim), jnp.float32),
-    )
-    return state, vae, disc
+    # The WHOLE state build (model inits + optimizer-moment zeros) runs as
+    # one jitted program: eagerly, flax init dispatches hundreds of tiny
+    # single-op programs, each a ~0.35 s server-side compile on the
+    # tunneled runtime — a measured ~90 s client-side plus a ~400 s deferred
+    # backlog that stalled the next real host fetch. Jitted: ~9 s total.
+    def _build(r):
+        g_key, d_key, z_key = jax.random.split(r, 3)
+        dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+        g_params = vae.init(
+            {"params": g_key}, dummy, z_key, method=FlowerVAE.init_all
+        )["params"]
+        d_params = disc.init(d_key, dummy)["params"]
+        return VAEGANState(
+            gen=TrainState.create(apply_fn=vae.apply, params=g_params, tx=g_tx),
+            disc=TrainState.create(apply_fn=disc.apply, params=d_params, tx=d_tx),
+            centers=jnp.zeros((cfg.num_classes, cfg.latent_dim), jnp.float32),
+        )
+
+    return jax.jit(_build)(rng), vae, disc
 
 
 def make_vae_gan_step_body(
