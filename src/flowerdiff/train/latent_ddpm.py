@@ -224,7 +224,7 @@ class LatentDiffusionTrainer:
         idx, offsets, steps = epoch_rows(host_seed, dataset.n, batch_size, epochs)
 
         has_colors = self.cfg.num_colors is not None
-        key = (idx.shape[0], idx.shape[1], dataset.augment_enabled,
+        key = (idx.shape[0], idx.shape[1], steps, dataset.augment_enabled,
                mesh is not None)
         if key not in self._fused:
             self._fused[key] = make_fused_latent_epochs(

@@ -111,7 +111,7 @@ class PixelDiffusionTrainer:
             jax.random.fold_in(rng, 1), (), 0, 2**31 - 1
         ))
         idx, offsets, steps = epoch_rows(host_seed, dataset.n, batch_size, epochs)
-        key = (idx.shape[0], idx.shape[1], dataset.augment_enabled,
+        key = (idx.shape[0], idx.shape[1], steps, dataset.augment_enabled,
                mesh is not None)
         if key not in self._fused:
             self._fused[key] = make_fused_pixel_epochs(

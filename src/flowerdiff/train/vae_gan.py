@@ -329,7 +329,7 @@ class VAEGANTrainer:
         ])  # (E, 5)
         gates = jnp.asarray(np.repeat(gates, steps, axis=0))  # (T, 5)
 
-        key = (idx.shape[0], idx.shape[1], dataset.augment_enabled,
+        key = (idx.shape[0], idx.shape[1], steps, dataset.augment_enabled,
                mesh is not None)
         if key not in self._fused:
             self._fused[key] = make_fused_vae_gan_epochs(
