@@ -227,7 +227,8 @@ class PipelineRunner:
                 if epoch % preset.vae_visualize_every == 0 or epoch == vae_epochs:
                     if best_tree is not None:
                         vae_ckpt.save(best_epoch, best_tree)
-                    self._vae_viz(trainer, epoch)
+                    if cadence_viz:
+                        self._vae_viz(trainer, epoch)
             if best_tree is not None:
                 vae_ckpt.save(best_epoch, best_tree)
             vae_ckpt.save(vae_epochs, vae_gan_state_to_tree(trainer.state))
