@@ -116,7 +116,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         fused_epochs=not args.no_fused_epochs,
     )
     if preset.pixel is not None:
-        runner.run_pixel(epochs=args.total_epochs, batch_size=args.batch_size)
+        runner.run_pixel(epochs=args.total_epochs, batch_size=args.batch_size,
+                         cadence_viz=not args.no_cadence_viz)
     else:
         runner.run_latent(
             total_epochs=(

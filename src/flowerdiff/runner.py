@@ -311,7 +311,8 @@ class PipelineRunner:
     # Pixel pipeline (v4/v5)
     # ------------------------------------------------------------------ #
 
-    def run_pixel(self, epochs: Optional[int] = None, batch_size: Optional[int] = None):
+    def run_pixel(self, epochs: Optional[int] = None,
+                  batch_size: Optional[int] = None, cadence_viz: bool = True):
         preset = self.preset
         assert preset.pixel is not None
         epochs = epochs if epochs is not None else preset.pixel_epochs
@@ -342,7 +343,8 @@ class PipelineRunner:
                     print(f"Diffusion Epoch {epoch + off + 1}/{epochs}, Loss: {loss:.4f}")
                 epoch += len(chunk)
                 if (
-                    preset.pixel_visualize_every
+                    cadence_viz
+                    and preset.pixel_visualize_every
                     and epoch % preset.pixel_visualize_every == 0
                 ):  # v5:268-273 (0-based epoch in the artifact names)
                     sampler = trainer.sampler()

@@ -158,8 +158,7 @@ class CheckpointManager:
             import numpy as np
 
             like_np = jax.tree.map(
-                lambda a: np.empty(getattr(a, "shape", ()),
-                                   getattr(a, "dtype", np.int64))
+                lambda a: np.empty(a.shape, a.dtype)
                 if hasattr(a, "shape") else a,
                 like,
             )

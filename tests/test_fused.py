@@ -126,6 +126,43 @@ def test_fused_latent_epochs_match_loop():
     _tree_close(state_f.params, state_l.params)
 
 
+def test_nested_scan_matches_flat_rows():
+    """steps_per_epoch > 1 (the production nesting) visits the identical row
+    sequence as the degenerate inner-length-1 nesting: same losses, same
+    final params (pins _nested_scan's reshape/ordering)."""
+    ds = _dataset()
+    cfg = LatentDiffusionConfig(
+        latent_dim=8, hidden_dims=(16, 16), time_emb_dim=8, num_classes=5,
+        steps_per_epoch=N // B, n_steps=50,
+    )
+    rng = jax.random.key(0)
+    state, model, sched = create_latent_diffusion_state(rng, cfg)
+    state_b = jax.tree.map(jnp.copy, state)
+
+    vae_cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=10,
+    )
+    vstate, vae, _ = create_vae_gan_state(jax.random.key(1), vae_cfg, img_size=H)
+    vae_params = vstate.gen.params
+
+    idx, offsets, steps = epoch_rows(0, N, B, epochs=3)
+    assert steps > 1  # the nesting must be non-trivial for this test
+    step_rng, data_key = jax.random.key(2), jax.random.key(3)
+    args = (vae_params, sched, ds.images, ds.labels, None, idx, offsets,
+            step_rng, data_key, None)
+
+    nested = make_fused_latent_epochs(model, vae, sched, cfg,
+                                      steps_per_epoch=steps)
+    state_n, losses_n = nested(state, *args)
+    flat = make_fused_latent_epochs(model, vae, sched, cfg)  # inner length 1
+    state_f, losses_f = flat(state_b, *args)
+
+    np.testing.assert_allclose(np.asarray(losses_n), np.asarray(losses_f),
+                               rtol=2e-5, atol=1e-6)
+    _tree_close(state_n.params, state_f.params)
+
+
 def test_fused_vae_gan_epochs_match_loop_across_gate_boundary():
     ds = _dataset()
     cfg = VAEGANConfig(

@@ -144,7 +144,7 @@ def main():
             ep = np.random.default_rng(i)
             for e in range(epochs):
                 vt2.run_epoch(
-                    ((im, lb) for im, lb in ds.batches(ep, BATCH)),
+                    ds.batches(ep, BATCH),
                     i * epochs + e, 1200, jax.random.fold_in(rng, i * epochs + e),
                 )
         bench_epochs(vae_loop, "vae_gan full LOOP (per-batch)")
