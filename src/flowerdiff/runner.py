@@ -117,6 +117,14 @@ class PipelineRunner:
         # the real dataset the train images stand in.
         self.test_images, self.test_labels = self.train_ds.full()[:2]
 
+    @staticmethod
+    def _best_as_tree(best_tree, best_state):
+        """Checkpoint tree for the best snapshot: the loop path holds an
+        explicit tree copy; the fused path's sentinel points at the
+        device-carried best VAEGANState."""
+        return (vae_gan_state_to_tree(best_state) if best_tree is True
+                else best_tree)
+
     def _chunk_size(self, epoch: int, total: int, cadence: Optional[int]) -> int:
         """Epochs for the next fused dispatch: never crosses a viz/checkpoint
         cadence boundary (so cadence artifacts still appear at the same
@@ -179,16 +187,27 @@ class PipelineRunner:
             best = float("inf")
             best_tree = None
             best_epoch = 0
+            # Fused path: the best-state carry (reference per-epoch policy,
+            # v1:1177-1182) is tracked inside the dispatch and donated each
+            # chunk; seed it with a COPY of the initial state (arg 0 is the
+            # live state and is donated separately).
+            best_state = (
+                jax.tree.map(jnp.copy, trainer.state)
+                if self.fused_epochs else None
+            )
             ep_rng = np.random.default_rng(self.seed)
             epoch = 0
             while epoch < vae_epochs:
                 if self.fused_epochs:
                     n = self._chunk_size(epoch, vae_epochs, preset.vae_visualize_every)
-                    chunk = trainer.run_epochs_fused(
+                    chunk, (best, maybe_epoch, best_state) = trainer.run_epochs_fused(
                         self.train_ds, epoch, vae_epochs, n,
                         jax.random.fold_in(vae_rng, epoch), batch_size,
-                        mesh=self.mesh,
+                        mesh=self.mesh, best=(best, best_state),
                     )
+                    if maybe_epoch is not None:
+                        best_epoch = maybe_epoch
+                        best_tree = True  # sentinel: best_state holds it
                 else:
                     batches = self.train_ds.batches(ep_rng, batch_size)
                     if self.preset.latent.num_colors is not None:
@@ -203,34 +222,34 @@ class PipelineRunner:
                         f"Epoch {epoch + off + 1}/{vae_epochs}, "
                         + ", ".join(f"{k}: {v:.6f}" for k, v in sorted(metrics.items()))
                     )
-                totals = [m["total"] for m in chunk]
-                if min(totals) < best:
-                    # Best-checkpoint policy (v1:1177-1182). The best state is
-                    # held on device and persisted at the viz cadence + at the
-                    # end — a per-epoch 69M-param disk write would dominate
-                    # the ~1.6ms train steps. COPIES, not references: the
-                    # jitted step donates its input buffers, so references
-                    # into a past state get deleted by later steps. FULL
-                    # state (gen+disc incl. optimizer moments + centers) so
-                    # resume is exact (reference saves G+D dicts, v1:1188-1191).
-                    # With fused epoch-chunks (train/fused.py) the snapshot is
-                    # the CHUNK-END state — epoch-exact best snapshots would
-                    # need a per-epoch param copy inside the scan; the loop
-                    # path (fused_epochs=False) keeps the reference-exact
-                    # per-epoch policy.
-                    best = min(totals)
-                    best_epoch = epoch + len(chunk) - 1
-                    best_tree = jax.tree.map(
-                        jnp.copy, vae_gan_state_to_tree(trainer.state)
-                    )
+                if not self.fused_epochs:
+                    totals = [m["total"] for m in chunk]
+                    if min(totals) < best:
+                        # Best-checkpoint policy (v1:1177-1182). The best
+                        # state is held on device and persisted at the viz
+                        # cadence + at the end — a per-epoch 69M-param disk
+                        # write would dominate the ~1.6ms train steps.
+                        # COPIES, not references: the jitted step donates its
+                        # input buffers, so references into a past state get
+                        # deleted by later steps. FULL state (gen+disc incl.
+                        # optimizer moments + centers) so resume is exact
+                        # (reference saves G+D dicts, v1:1188-1191). The
+                        # fused path tracks the same per-epoch policy INSIDE
+                        # the dispatch (train/fused.py track_best).
+                        best = min(totals)
+                        best_epoch = epoch + len(chunk) - 1
+                        best_tree = jax.tree.map(
+                            jnp.copy, vae_gan_state_to_tree(trainer.state)
+                        )
                 epoch += len(chunk)
                 if epoch % preset.vae_visualize_every == 0 or epoch == vae_epochs:
                     if best_tree is not None:
-                        vae_ckpt.save(best_epoch, best_tree)
+                        vae_ckpt.save(best_epoch, self._best_as_tree(
+                            best_tree, best_state))
                     if cadence_viz:
                         self._vae_viz(trainer, epoch)
             if best_tree is not None:
-                vae_ckpt.save(best_epoch, best_tree)
+                vae_ckpt.save(best_epoch, self._best_as_tree(best_tree, best_state))
             vae_ckpt.save(vae_epochs, vae_gan_state_to_tree(trainer.state))
             history.save_jsonl(os.path.join(self.results_dir, "vae_history.jsonl"))
             viz.plot_loss_curves(

@@ -123,6 +123,7 @@ def make_fused_vae_gan_epochs(
     jitter: float = 0.2,
     mesh: Optional[Mesh] = None,
     steps_per_epoch: int = 1,
+    track_best: bool = False,
 ):
     """fn(state, images_u8, labels_all, idx, offsets, gates, rng, data_key,
     vgg_params) -> (state, metrics with (T,) leaves).
@@ -133,27 +134,69 @@ def make_fused_vae_gan_epochs(
       gates:   (T, 5) float32 — per-STEP loss gates (rows repeat within an
                epoch, change at epoch boundaries)
       T must equal (whole epochs) x steps_per_epoch.
+
+    With track_best=True the fn takes two extra args (best_loss, best_state)
+    and returns (state, metrics, best_loss, best_epoch_in_chunk, best_state):
+    the outer (per-epoch) scan compares each epoch's MEAN total loss to the
+    carried best and leaf-selects that epoch's END state — the reference's
+    per-epoch best-checkpoint policy (v1:1177-1182) at epoch granularity
+    INSIDE the single dispatch (a per-epoch host snapshot would re-serialize
+    the chunk). best_epoch_in_chunk is -1 if no epoch beat best_loss.
     """
     step_body = make_vae_gan_step_body(vae, disc, cfg, vgg)
     gather = _make_gather(augment, max_rotation_deg, jitter, mesh)
 
-    def epochs_fn(state, images_u8, labels_all, idx, offsets, gates, rng,
-                  data_key, vgg_params):
-        def body(carry, xs):
-            st = carry
-            idx_row, offset, gates_row = xs
-            imgs = gather(images_u8, idx_row, data_key, offset)
-            labs = _take_sharded(labels_all, idx_row, mesh)
-            st, metrics = step_body(
-                st, imgs, labs, gates_row, jax.random.fold_in(rng, offset),
-                vgg_params,
+    def body(st, xs, images_u8, labels_all, rng, data_key, vgg_params):
+        idx_row, offset, gates_row = xs
+        imgs = gather(images_u8, idx_row, data_key, offset)
+        labs = _take_sharded(labels_all, idx_row, mesh)
+        return step_body(
+            st, imgs, labs, gates_row, jax.random.fold_in(rng, offset),
+            vgg_params,
+        )
+
+    if not track_best:
+        def epochs_fn(state, images_u8, labels_all, idx, offsets, gates, rng,
+                      data_key, vgg_params):
+            return _nested_scan(
+                lambda st, xs: body(st, xs, images_u8, labels_all, rng,
+                                    data_key, vgg_params),
+                state, (idx, offsets, gates), steps_per_epoch,
             )
-            return st, metrics
 
-        return _nested_scan(body, state, (idx, offsets, gates),
-                            steps_per_epoch)
+        return jax.jit(epochs_fn, donate_argnums=(0,))
 
-    return jax.jit(epochs_fn, donate_argnums=(0,))
+    def epochs_fn_best(state, images_u8, labels_all, idx, offsets, gates,
+                       rng, data_key, vgg_params, best_loss, best_state):
+        t = idx.shape[0]
+        e = t // steps_per_epoch
+        xs = jax.tree.map(
+            lambda a: a.reshape((e, steps_per_epoch) + a.shape[1:]),
+            (idx, offsets, gates),
+        )
+
+        def outer(carry, xs_e):
+            st, bl, bi, e_ix, bstate = carry
+            st, ys = jax.lax.scan(
+                lambda s, x: body(s, x, images_u8, labels_all, rng,
+                                  data_key, vgg_params),
+                st, xs_e,
+            )
+            epoch_mean = jnp.mean(ys["total"])
+            better = epoch_mean < bl
+            bl = jnp.where(better, epoch_mean, bl)
+            bi = jnp.where(better, e_ix, bi)
+            bstate = jax.tree.map(
+                lambda b, n: jnp.where(better, n, b), bstate, st
+            )
+            return (st, bl, bi, e_ix + 1, bstate), ys
+
+        carry0 = (state, best_loss, jnp.int32(-1), jnp.int32(0), best_state)
+        (state, bl, bi, _, bstate), ys = jax.lax.scan(outer, carry0, xs)
+        metrics = jax.tree.map(lambda a: a.reshape((t,) + a.shape[2:]), ys)
+        return state, metrics, bl, bi, bstate
+
+    return jax.jit(epochs_fn_best, donate_argnums=(0, 10))
 
 
 def make_fused_latent_epochs(

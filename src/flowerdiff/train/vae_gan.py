@@ -304,11 +304,17 @@ class VAEGANTrainer:
 
     def run_epochs_fused(self, dataset, start_epoch: int, num_epochs_total: int,
                          epochs: int, rng: jax.Array, batch_size: int = 64,
-                         mesh=None):
+                         mesh=None, best=None):
         """Train `epochs` consecutive epochs (starting at absolute epoch
         `start_epoch` for gate staging) in ONE device dispatch
         (train/fused.py). `dataset` is a data.DeviceDataset. Returns the
-        per-epoch mean metrics dicts (one host fetch for the whole chunk)."""
+        per-epoch mean metrics dicts (one host fetch for the whole chunk).
+
+        best: optional (best_loss: float, best_state: VAEGANState) carry for
+        the reference's per-epoch best-checkpoint policy (v1:1177-1182),
+        tracked INSIDE the dispatch at epoch granularity. When given, returns
+        (metrics, (best_loss, best_epoch_absolute | None, best_state)); the
+        passed best_state buffer is donated."""
         import numpy as np
 
         from flowerdiff.train.fused import epoch_rows, make_fused_vae_gan_epochs
@@ -329,23 +335,36 @@ class VAEGANTrainer:
         ])  # (E, 5)
         gates = jnp.asarray(np.repeat(gates, steps, axis=0))  # (T, 5)
 
+        track_best = best is not None
         key = (idx.shape[0], idx.shape[1], steps, dataset.augment_enabled,
-               mesh is not None)
+               mesh is not None, track_best)
         if key not in self._fused:
             self._fused[key] = make_fused_vae_gan_epochs(
                 self.vae, self.disc, self.cfg, self.vgg,
                 augment=dataset.augment_enabled,
                 max_rotation_deg=dataset.max_rotation_deg,
                 jitter=dataset.jitter, mesh=mesh, steps_per_epoch=steps,
+                track_best=track_best,
             )
         step_rng, data_key = jax.random.split(jax.random.fold_in(rng, 2))
-        self.state, metrics = self._fused[key](
-            self.state, dataset.images, dataset.labels, idx, offsets, gates,
-            step_rng, data_key, self.vgg_params,
-        )
+        args = (self.state, dataset.images, dataset.labels, idx, offsets,
+                gates, step_rng, data_key, self.vgg_params)
+        if track_best:
+            best_loss, best_state = best
+            self.state, metrics, bl, bi, best_state = self._fused[key](
+                *args, jnp.float32(best_loss), best_state,
+            )
+            bi = int(bi)
+            best_out = (
+                float(bl),
+                start_epoch + bi if bi >= 0 else None,
+                best_state,
+            )
+        else:
+            self.state, metrics = self._fused[key](*args)
         metrics = jax.device_get(metrics)  # dict of (T,)
         out = []
         for e in range(epochs):
             sl = slice(e * steps, (e + 1) * steps)
             out.append({k: float(np.mean(v[sl])) for k, v in metrics.items()})
-        return out
+        return (out, best_out) if track_best else out

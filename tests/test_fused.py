@@ -305,3 +305,48 @@ def test_epoch_rows_plan():
     for e in range(2):
         flat = np.asarray(idx[e * steps:(e + 1) * steps]).ravel()
         assert len(set(flat.tolist())) == len(flat)
+
+
+def test_fused_vae_gan_best_tracking_matches_host_selection():
+    """track_best picks the epoch-END state of the argmin mean-total epoch —
+    identical to replaying the same rows epoch-by-epoch and selecting on the
+    host (reference best-checkpoint policy v1:1177-1182)."""
+    ds = _dataset()
+    cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=12,
+    )
+    rng = jax.random.key(0)
+    state, vae, disc = create_vae_gan_state(rng, cfg, img_size=H)
+    state_b = jax.tree.map(jnp.copy, state)
+    steps = N // B
+    epochs = 3
+    idx, offsets, _ = epoch_rows(7, N, B, epochs=epochs)
+    gates = jnp.tile(gates_array(vae_gan_loss_gates(1, 10)), (idx.shape[0], 1))
+    step_rng, data_key = jax.random.key(2), jax.random.key(3)
+
+    tracked = make_fused_vae_gan_epochs(
+        vae, disc, cfg, steps_per_epoch=steps, track_best=True,
+    )
+    best0 = jax.tree.map(jnp.copy, state)
+    st_t, metrics_t, bl, bi, bstate = tracked(
+        state, ds.images, ds.labels, idx, offsets, gates, step_rng, data_key,
+        None, jnp.float32(jnp.inf), best0,
+    )
+
+    # Host-side replication: same rows, one epoch at a time.
+    plain = make_fused_vae_gan_epochs(vae, disc, cfg, steps_per_epoch=steps)
+    means, states = [], []
+    st = state_b
+    for e in range(epochs):
+        sl = slice(e * steps, (e + 1) * steps)
+        st, m = plain(st, ds.images, ds.labels, idx[sl], offsets[sl],
+                      gates[sl], step_rng, data_key, None)
+        means.append(float(jnp.mean(m["total"])))
+        states.append(jax.tree.map(jnp.copy, st))
+    want = int(np.argmin(means))
+
+    assert int(bi) == want
+    np.testing.assert_allclose(float(bl), means[want], rtol=2e-5)
+    _tree_close(bstate.gen.params, states[want].gen.params)
+    _tree_close(st_t.gen.params, st.gen.params)
