@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="diffusion visualization cadence (default 50, v1:1375)")
     p.add_argument("--vae_visualize_every", type=int, default=None,
                    help="VAE visualization cadence (default 300, v1:1323)")
+    p.add_argument("--cond_dropout", type=float, default=None,
+                   help="classifier-free-guidance training: per-sample "
+                        "null-condition probability (cond_study best: 0.1)")
+    p.add_argument("--guidance_scale", type=float, default=None,
+                   help="classifier-free guidance at sampling (cond_study "
+                        "best: 3.0; needs a model trained with "
+                        "--cond_dropout > 0)")
     p.add_argument("--no-final-sweep", action="store_true",
                    help="skip the final sample-grid/paths/GIF sweep (v1:1406-1429)")
     p.add_argument("--no-cadence-viz", action="store_true",
@@ -103,6 +110,18 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if args.vae_visualize_every is not None:
         preset = dataclasses.replace(
             preset, vae_visualize_every=args.vae_visualize_every
+        )
+    if (args.cond_dropout is not None or args.guidance_scale is not None)             and preset.latent is not None:
+        preset = dataclasses.replace(
+            preset, latent=dataclasses.replace(
+                preset.latent,
+                cond_dropout=(args.cond_dropout
+                              if args.cond_dropout is not None
+                              else preset.latent.cond_dropout),
+                guidance_scale=(args.guidance_scale
+                                if args.guidance_scale is not None
+                                else preset.latent.guidance_scale),
+            ),
         )
     mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)
     runner = PipelineRunner(
