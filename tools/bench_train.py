@@ -149,6 +149,16 @@ def main():
                 )
         bench_epochs(vae_loop, "vae_gan full LOOP (per-batch)")
 
+        vcfg_bf16 = VAEGANConfig(total_steps=1200 * (n_data // BATCH),
+                                 compute_dtype="bfloat16")
+        vtb = VAEGANTrainer(vcfg_bf16, rng)
+        bench_epochs(
+            lambda i: vtb.run_epochs_fused(
+                ds, i * epochs, 1200, epochs, jax.random.fold_in(rng, i), BATCH
+            ),
+            "vae_gan full FUSED bf16",
+        )
+
         lcfg = LatentDiffusionConfig(steps_per_epoch=n_data // BATCH)
         lt = LatentDiffusionTrainer(lcfg, vt.vae, rng)
         vae_params = vt.state.gen.params
