@@ -111,7 +111,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         preset = dataclasses.replace(
             preset, vae_visualize_every=args.vae_visualize_every
         )
-    if (args.cond_dropout is not None or args.guidance_scale is not None)             and preset.latent is not None:
+    cfg_flags_given = (
+        args.cond_dropout is not None or args.guidance_scale is not None
+    )
+    if cfg_flags_given and preset.latent is None:
+        print(
+            f"warning: --cond_dropout/--guidance_scale ignored — preset "
+            f"{args.version} has no latent-diffusion stage (pixel-space DDPM)"
+        )
+    if cfg_flags_given and preset.latent is not None:
         preset = dataclasses.replace(
             preset, latent=dataclasses.replace(
                 preset.latent,

@@ -163,7 +163,13 @@ class CheckpointManager:
                 like,
             )
             restored = self._ckptr.restore(self._step_dir(step), like_np)
-            restored = jax.device_put(restored)
+            # Re-apply each `like` leaf's sharding (mesh runs hand in sharded
+            # arrays); one bulk host->device transfer per leaf either way.
+            restored = jax.tree.map(
+                lambda r, l: jax.device_put(r, l.sharding)
+                if hasattr(l, "sharding") else jax.device_put(r),
+                restored, like,
+            )
             jax.block_until_ready(restored)
             return restored
         return self._ckptr.restore(self._step_dir(step))

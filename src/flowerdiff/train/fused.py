@@ -22,8 +22,14 @@ Semantics are identical to the per-step loop: the scan body IS the same
 step body (make_*_step_body), the gather+augment IS the same augment stack,
 and the RNG scheme is made explicit via the `offsets` row vector — row r
 uses fold_in(rng, offsets[r]) for the step and fold_in(data_key, offsets[r])
-for the augmentation, so the host chooses per-epoch restarting offsets to
-mirror the loop path exactly (tests/test_fused.py asserts equivalence).
+for the augmentation. `epoch_rows` emits GLOBALLY unique offsets
+(0..T-1 across the whole chunk, not restarting per epoch) so every batch in
+a multi-epoch dispatch draws fresh augmentation parameters — matching the
+loop path (DeviceDataset.batches draws a fresh key per epoch) and the
+reference's fresh-per-batch augments. The step RNG is additionally
+decorrelated by fold_in(rng, state.step) inside the step bodies.
+tests/test_fused.py asserts fused==loop equivalence and that augment keys
+differ across epochs within one chunk.
 
 Epoch-varying hyperparameters (the VAE-GAN's staged loss gates,
 train/schedules.py) arrive as a (T, 5) array — one gate row per step — so
@@ -271,9 +277,18 @@ def epoch_rows(
     rng, n: int, batch_size: int, epochs: int, shuffle: bool = True,
     drop_remainder: bool = True,
 ):
-    """Host-side index plan: (T, B) dataset rows + (T,) per-epoch-restarting
-    offsets for `epochs` epochs over an n-item dataset (one permutation per
-    epoch, same policy as DeviceDataset.batches)."""
+    """Host-side index plan: (T, B) dataset rows + (T,) globally unique RNG
+    offsets (0..T-1) for `epochs` epochs over an n-item dataset (one
+    permutation per epoch, same policy as DeviceDataset.batches). Offsets
+    are unique across the WHOLE chunk so fold_in(data_key, offset) yields a
+    fresh augmentation draw for every batch of every epoch.
+
+    With drop_remainder=False the short tail batch is padded by WRAPPING
+    rows from the start of the same epoch's permutation (static batch shape
+    for the scan), so tail-epoch samples are seen twice per epoch — unlike
+    the loop path, which yields a short final batch. No trainer currently
+    uses this branch; it exists for static-shape callers that prefer
+    duplicate samples over dropped ones."""
     import numpy as np
 
     if isinstance(rng, (int, np.integer)):
@@ -283,7 +298,6 @@ def epoch_rows(
         steps = 1
         batch_size = n
     idx = np.empty((epochs * steps, batch_size), np.int32)
-    offsets = np.empty((epochs * steps,), np.int32)
     for e in range(epochs):
         order = rng.permutation(n) if shuffle else np.arange(n)
         for s in range(steps):
@@ -291,5 +305,5 @@ def epoch_rows(
             if len(row) < batch_size:  # wrap the tail (only if not dropping)
                 row = np.concatenate([row, order[:batch_size - len(row)]])
             idx[e * steps + s] = row
-            offsets[e * steps + s] = s
+    offsets = np.arange(epochs * steps, dtype=np.int32)
     return jnp.asarray(idx), jnp.asarray(offsets), steps

@@ -203,9 +203,12 @@ def test_fused_vae_gan_epochs_match_loop_across_gate_boundary():
         )
         totals_l.append(float(m["total"]))
 
+    # rtol 5e-5: fused scan and per-step loop are different XLA programs, so
+    # the rotation-einsum augment path accumulates O(1e-5) relative float
+    # noise between them; a wiring bug shifts totals by orders more.
     np.testing.assert_allclose(
         np.asarray(metrics_f["total"]), np.asarray(totals_l),
-        rtol=2e-5, atol=1e-6,
+        rtol=5e-5, atol=1e-6,
     )
     assert int(state_f.step) == int(state_l.step) == idx.shape[0]
     _params_close_to_update_scale(init_gen, state_f.gen.params, state_l.gen.params)
@@ -299,12 +302,25 @@ def test_fused_latent_with_colors():
 def test_epoch_rows_plan():
     idx, offsets, steps = epoch_rows(0, 10, 3, epochs=2)
     assert steps == 3 and idx.shape == (6, 3) and offsets.shape == (6,)
-    # offsets restart each epoch (mirrors the loop path's per-epoch fold)
-    assert list(np.asarray(offsets)) == [0, 1, 2, 0, 1, 2]
+    # offsets are globally unique across the chunk, so every batch of every
+    # epoch gets a fresh fold_in(data_key, offset) augmentation draw
+    assert list(np.asarray(offsets)) == [0, 1, 2, 3, 4, 5]
     # each epoch's rows are drawn without replacement from a permutation
     for e in range(2):
         flat = np.asarray(idx[e * steps:(e + 1) * steps]).ravel()
         assert len(set(flat.tolist())) == len(flat)
+
+
+def test_augment_keys_fresh_across_epochs():
+    """The same step position in two different epochs of one fused chunk must
+    fold a DIFFERENT augment key (regression for the round-2 advisory: offsets
+    restarted per epoch, replaying identical flip/rotation/jitter draws)."""
+    _, offsets, steps = epoch_rows(0, 10, 3, epochs=4)
+    data_key = jax.random.key(9)
+    keys = [jax.random.key_data(jax.random.fold_in(data_key, int(o)))
+            for o in np.asarray(offsets)]
+    as_tuples = {tuple(np.asarray(k).tolist()) for k in keys}
+    assert len(as_tuples) == len(keys)
 
 
 def test_fused_vae_gan_best_tracking_matches_host_selection():
