@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="classifier-free guidance at sampling (cond_study "
                         "best: 3.0; needs a model trained with "
                         "--cond_dropout > 0)")
+    p.add_argument("--sampler", default=None, choices=["ancestral", "ddim"],
+                   help="sampling mode for grids/sweeps: ancestral (the "
+                        "reference's 1000 steps, default) or ddim")
+    p.add_argument("--ddim_steps", type=int, default=None,
+                   help="DDIM step count (default 50; used with "
+                        "--sampler ddim)")
     p.add_argument("--no-final-sweep", action="store_true",
                    help="skip the final sample-grid/paths/GIF sweep (v1:1406-1429)")
     p.add_argument("--no-cadence-viz", action="store_true",
@@ -110,6 +116,24 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if args.vae_visualize_every is not None:
         preset = dataclasses.replace(
             preset, vae_visualize_every=args.vae_visualize_every
+        )
+    sampler_flags_given = (
+        args.sampler is not None or args.ddim_steps is not None
+    )
+    if sampler_flags_given and preset.latent is None:
+        print(
+            f"warning: --sampler/--ddim_steps ignored — preset "
+            f"{args.version} has no latent-diffusion stage"
+        )
+    if sampler_flags_given and preset.latent is not None:
+        preset = dataclasses.replace(
+            preset, latent=dataclasses.replace(
+                preset.latent,
+                sampler=(args.sampler if args.sampler is not None
+                         else preset.latent.sampler),
+                ddim_steps=(args.ddim_steps if args.ddim_steps is not None
+                            else preset.latent.ddim_steps),
+            ),
         )
     cfg_flags_given = (
         args.cond_dropout is not None or args.guidance_scale is not None

@@ -240,6 +240,26 @@ class NormalizedSampler:
         return self._inner.latent_dim
 
 
+class DDIMSampler:
+    """View over a sampler that routes `.sample` through the accelerated
+    deterministic DDIM path (`.ddim`, Song et al. 2021) at a fixed step
+    count — so every downstream consumer (serving, runner sweeps, viz
+    grids) can switch sampler by construction, not by call-site edits.
+    Trajectory/masked entry points stay ancestral (they exist to visualize
+    the ancestral process). Composes inside or outside NormalizedSampler.
+    """
+
+    def __init__(self, inner, num_steps: int = 50):
+        self._inner = inner
+        self.num_steps = int(num_steps)
+
+    def sample(self, rng, batch: int, *cond) -> jax.Array:
+        return self._inner.ddim(rng, batch, *cond, num_steps=self.num_steps)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
 class FusedDiffusionSampler(DiffusionSampler):
     """DiffusionSampler whose `sample` uses the whole-process Pallas kernel
     (latent pipeline only; ~30x the XLA scan at small batches)."""

@@ -38,9 +38,16 @@ class Encoder(nn.Module):
     channels: tuple = (64, 128, 256, 512)  # reference widths (v1:185-208)
     head_width: int = 512
     dtype: Any = None  # compute dtype (params stay float32)
+    # Rematerialize the residual blocks on the backward pass: each block
+    # holds ~8 conv/LN/attention intermediates; with remat only the block
+    # INPUT is saved and the chain is recomputed in the bwd pass — an
+    # HBM-traffic lever for the bandwidth-bound train step (BASELINE.md
+    # roofline; the reference has no equivalent knob).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array):
+        block = nn.remat(ResidualBlock) if self.remat else ResidualBlock
         # Stem: conv3x3 -> LN2d -> swish (v1:185-189)
         h = nn.Conv(self.channels[0], (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=kaiming_init, name="stem_conv")(x)
@@ -54,7 +61,7 @@ class Encoder(nn.Module):
                         name=f"down{i}_conv")(h)
             h = LayerNorm2d(ch, dtype=self.dtype, name=f"down{i}_ln")(h)
             h = swish(h)
-            h = ResidualBlock(ch, dtype=self.dtype, name=f"res{i}")(h)
+            h = block(ch, dtype=self.dtype, name=f"res{i}")(h)
 
         flat = h.reshape(h.shape[0], -1)  # (B, 8*8*512) at reference size
 
@@ -77,6 +84,7 @@ class Decoder(nn.Module):
     head_width: int = 512
     base_size: int = 8  # spatial size of the deepest feature map
     dtype: Any = None
+    remat: bool = False  # see Encoder.remat
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -149,13 +157,15 @@ class FlowerVAE(nn.Module):
     head_width: int = 512
     base_size: int = 8
     dtype: Any = None  # compute dtype for the conv stacks (params float32)
+    remat: bool = False  # rematerialize residual blocks (see Encoder.remat)
 
     def setup(self):
         self.encoder = Encoder(self.in_channels, self.latent_dim,
-                               self.channels, self.head_width, self.dtype)
+                               self.channels, self.head_width, self.dtype,
+                               self.remat)
         self.decoder = Decoder(self.latent_dim, self.in_channels,
                                self.channels, self.head_width, self.base_size,
-                               self.dtype)
+                               self.dtype, self.remat)
         self.classifier = LatentClassifier(self.num_classes)
 
     @staticmethod

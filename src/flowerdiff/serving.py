@@ -48,11 +48,17 @@ class SamplingService:
         buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
         latent_stats=None,
         clip_x0: Optional[float] = None,
+        sampler_kind: str = "ancestral",
+        ddim_steps: int = 50,
     ):
         """latent_stats: (mean, std) per-dim arrays when the model was
         trained z-scored (runner saves them as latent_stats.npz).
         clip_x0: sampling-time x0-thresholding bound (match the training
-        preset's clip_denoised)."""
+        preset's clip_denoised).
+        sampler_kind: 'ancestral' (the reference's 1000 sequential steps,
+        v1:594-598, as one compiled scan / Pallas kernel) or 'ddim' —
+        deterministic accelerated sampling over `ddim_steps` strided
+        timesteps for latency-sensitive serving."""
         self.model = model
         self.params = params
         self.sched = sched or linear_schedule()
@@ -68,6 +74,12 @@ class SamplingService:
             from flowerdiff.diffusion.api import NormalizedSampler
 
             self.sampler = NormalizedSampler(self.sampler, *latent_stats)
+        if sampler_kind == "ddim":
+            from flowerdiff.diffusion.api import DDIMSampler
+
+            self.sampler = DDIMSampler(self.sampler, num_steps=ddim_steps)
+        elif sampler_kind != "ancestral":
+            raise ValueError(f"unknown sampler_kind {sampler_kind!r}")
         self._vae_params = (
             vae_params if "params" in vae_params else {"params": vae_params}
         )
@@ -79,13 +91,27 @@ class SamplingService:
         self._decode = lambda z: self._decode_jit(self._vae_params, z)
 
     def bucket_size(self, n: int) -> int:
-        """Smallest bucket >= n; oversize requests round up to a multiple of
-        the largest bucket (processed as one padded mega-batch)."""
+        """Smallest bucket >= n (n <= the largest bucket)."""
         for b in self.buckets:
             if n <= b:
                 return b
+        raise ValueError(
+            f"{n} exceeds the largest bucket {self.buckets[-1]}; "
+            "oversize requests are chunked via request_plan()"
+        )
+
+    def request_plan(self, n: int) -> list[int]:
+        """Bucket sizes to run for an n-image request: full top-bucket
+        chunks plus one ladder bucket for the tail. Total padding waste is
+        bounded by one ladder step (a 513-image request with a 512 top
+        bucket runs [512, 8] = 520 sampled, not a 1024 mega-batch), and the
+        compiled-program set stays bounded by the ladder."""
         top = self.buckets[-1]
-        return ((n + top - 1) // top) * top
+        plan = [top] * (n // top)
+        rest = n % top
+        if rest:
+            plan.append(self.bucket_size(rest))
+        return plan or [self.buckets[0]]
 
     def warmup(
         self,
@@ -106,19 +132,36 @@ class SamplingService:
             return arr
         return jnp.concatenate([arr, jnp.zeros((target - n,), arr.dtype)])
 
+    def _chunked(self, classes: jax.Array, colors, rng: jax.Array, decode: bool):
+        """Run the request as bucket-sized chunks (request_plan); each chunk
+        folds the request rng with its index so results are deterministic
+        for a given (rng, request)."""
+        n = classes.shape[0]
+        outs = []
+        start = 0
+        for i, b in enumerate(self.request_plan(n)):
+            take = min(b, n - start)
+            cls_chunk = self._pad(classes[start:start + take], b)
+            cond = (cls_chunk,)
+            if colors is not None:
+                cond = (cls_chunk, self._pad(colors[start:start + take], b))
+            latents = self.sampler.sample(jax.random.fold_in(rng, i), b, *cond)
+            # Pad through sampling AND decode so both programs see bucket
+            # shapes; slice each chunk back to its real size.
+            out = self._decode(latents) if decode else latents
+            outs.append(out[:take])
+            start += take
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
     def sample_latents(
         self,
         classes: jax.Array,
         rng: jax.Array,
         colors: Optional[jax.Array] = None,
     ) -> jax.Array:
-        n = classes.shape[0]
-        b = self.bucket_size(n)
-        classes_p = self._pad(jnp.asarray(classes, jnp.int32), b)
-        cond = (classes_p,)
-        if colors is not None:
-            cond = (classes_p, self._pad(jnp.asarray(colors, jnp.int32), b))
-        return self.sampler.sample(rng, b, *cond)[:n]
+        classes = jnp.asarray(classes, jnp.int32)
+        colors = jnp.asarray(colors, jnp.int32) if colors is not None else None
+        return self._chunked(classes, colors, rng, decode=False)
 
     def sample_classes(
         self,
@@ -133,12 +176,4 @@ class SamplingService:
             jnp.repeat(jnp.asarray(colors, jnp.int32), n_per_class)
             if colors is not None else None
         )
-        n = classes.shape[0]
-        b = self.bucket_size(n)
-        # Pad through sampling AND decode so both programs see bucket shapes.
-        classes_p = self._pad(classes, b)
-        cond = (classes_p,)
-        if color_arr is not None:
-            cond = (classes_p, self._pad(color_arr, b))
-        latents = self.sampler.sample(rng, b, *cond)
-        return self._decode(latents)[:n]
+        return self._chunked(classes, color_arr, rng, decode=True)

@@ -63,6 +63,12 @@ class LatentDiffusionConfig:
     # _compiled). 0.0/None reproduce the reference's plain conditioning.
     cond_dropout: float = 0.0
     guidance_scale: Optional[float] = None
+    # Sampler for grids/serving sweeps: 'ancestral' (the reference's 1000
+    # sequential steps) or 'ddim' over `ddim_steps` strided timesteps
+    # (diffusion/sampler.py ddim_sample — fast-preview capability the
+    # reference lacks). Trajectory/denoise-path viz stays ancestral.
+    sampler: str = "ancestral"
+    ddim_steps: int = 50
 
 
 def create_latent_diffusion_state(
@@ -244,8 +250,10 @@ class LatentDiffusionTrainer:
 
     def sampler(self, fused: bool = False):
         """Jitted sampling facade over the current params (diffusion/api.py);
-        wrapped in the latent codec when training is z-scored."""
+        wrapped in the latent codec when training is z-scored, and in the
+        DDIM view when the preset selects the accelerated sampler."""
         from flowerdiff.diffusion.api import (
+            DDIMSampler,
             DiffusionSampler,
             FusedDiffusionSampler,
             NormalizedSampler,
@@ -257,6 +265,8 @@ class LatentDiffusionTrainer:
                       guidance_scale=self.cfg.guidance_scale)
         if self.latent_stats is not None:
             sampler = NormalizedSampler(sampler, *self.latent_stats)
+        if self.cfg.sampler == "ddim":
+            sampler = DDIMSampler(sampler, num_steps=self.cfg.ddim_steps)
         return sampler
 
     def eps_fn(self, params=None, deterministic: bool = True):

@@ -69,6 +69,10 @@ class VAEGANConfig:
     channels: tuple = (64, 128, 256, 512)  # encoder/decoder widths (v1:185-208)
     head_width: int = 512
     compute_dtype: str = "float32"  # "bfloat16" for mixed-precision training
+    # Rematerialize encoder/decoder residual blocks in the backward pass —
+    # an HBM-traffic lever for the bandwidth-bound G+D step (models/vae.py
+    # Encoder.remat; measured in tools/mfu.py).
+    remat: bool = False
 
 
 class VAEGANState(struct.PyTreeNode):
@@ -94,6 +98,7 @@ def create_vae_gan_state(
     vae = vae or FlowerVAE(
         latent_dim=cfg.latent_dim, num_classes=cfg.num_classes,
         channels=tuple(cfg.channels), head_width=cfg.head_width, dtype=dtype,
+        remat=cfg.remat,
     )
     disc = disc or Discriminator64(dtype=dtype)
     g_tx = optax.chain(

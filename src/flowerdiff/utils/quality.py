@@ -101,9 +101,15 @@ def sample_quality_report(
     n_per_class: int = 4,
     max_classes: int = 26,
     max_real: int = 256,
+    extra_splits: Optional[dict] = None,
 ) -> dict:
     """The final-sweep quality bundle: classifier accuracy + MMD vs the
-    encoded real-set latents. Returns plain-float dict for JSONL logging."""
+    encoded real-set latents. Returns plain-float dict for JSONL logging.
+
+    extra_splits: optional {name: images} — the same generated latents are
+    also scored against each extra reference set (one generation pass),
+    emitted as `latent_mmd_{name}` (VERDICT r2 item 7: train AND held-out
+    rows from one sweep)."""
     acc_rng, sample_rng = jax.random.split(rng)
     acc = classifier_accuracy_on_samples(
         sampler, classify_fn, acc_rng, num_classes,
@@ -114,10 +120,15 @@ def sample_quality_report(
     generated = sampler.sample(sample_rng, int(classes.shape[0]), classes)
     real = encode_mu_fn(images[:max_real])
     mmd = latent_mmd(real, generated)
-    return {
+    report = {
         "classifier_accuracy": acc,
         "chance_accuracy": 1.0 / num_classes,
         "latent_mmd": mmd,
         "n_generated": int(classes.shape[0]),
         "n_real": int(min(max_real, images.shape[0])),
     }
+    for name, extra in (extra_splits or {}).items():
+        report[f"latent_mmd_{name}"] = latent_mmd(
+            encode_mu_fn(extra[:max_real]), generated
+        )
+    return report

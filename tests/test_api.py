@@ -90,3 +90,52 @@ def test_eps_single_eval():
     expected = model.apply(params, jnp.zeros((2, 16)), jnp.array([0, 5]),
                            jnp.zeros((2,), jnp.int32))
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-6)
+
+
+def test_ddim_sampler_view_routes_sample():
+    """DDIMSampler: .sample == inner .ddim at the configured step count;
+    other entry points delegate (trajectory viz stays ancestral)."""
+    from flowerdiff.diffusion.api import DDIMSampler, DiffusionSampler
+    from flowerdiff.models import ConditionalLatentDenoiser
+
+    model = ConditionalLatentDenoiser(
+        latent_dim=8, hidden_dims=(8, 16, 8), time_emb_dim=8, num_classes=4
+    )
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 8)), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32))
+    sched = linear_schedule(16)
+    inner = DiffusionSampler(model, params, sched, (8,))
+    view = DDIMSampler(inner, num_steps=4)
+    classes = jnp.zeros((2,), jnp.int32)
+    out = view.sample(jax.random.key(1), 2, classes)
+    want = inner.ddim(jax.random.key(1), 2, classes, num_steps=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want))
+    # delegation: trajectory still ancestral, latent_dim passes through
+    assert view.latent_dim == 8
+    final, traj = view.sample_with_trajectory(jax.random.key(2), 2, classes)
+    assert traj.shape[0] == 16
+
+
+def test_trainer_sampler_ddim_preset():
+    from flowerdiff.models import FlowerVAE
+    from flowerdiff.train.latent_ddpm import (
+        LatentDiffusionConfig,
+        LatentDiffusionTrainer,
+    )
+    from flowerdiff.train.vae_gan import VAEGANConfig, create_vae_gan_state
+
+    cfg = LatentDiffusionConfig(
+        latent_dim=8, hidden_dims=(8, 16, 8), time_emb_dim=8, num_classes=4,
+        n_steps=16, sampler="ddim", ddim_steps=4,
+    )
+    vcfg = VAEGANConfig(latent_dim=8, channels=(8, 16, 24, 32), head_width=32,
+                        num_classes=4, use_perceptual=False, total_steps=4)
+    _, vae, _ = create_vae_gan_state(jax.random.key(1), vcfg)
+    trainer = LatentDiffusionTrainer(cfg, vae, jax.random.key(0))
+    s = trainer.sampler()
+    from flowerdiff.diffusion.api import DDIMSampler
+
+    assert isinstance(s, DDIMSampler) and s.num_steps == 4
+    lat = s.sample(jax.random.key(2), 2, jnp.zeros((2,), jnp.int32))
+    assert lat.shape == (2, 8) and bool(jnp.isfinite(lat).all())

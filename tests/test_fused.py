@@ -366,3 +366,99 @@ def test_fused_vae_gan_best_tracking_matches_host_selection():
     np.testing.assert_allclose(float(bl), means[want], rtol=2e-5)
     _tree_close(bstate.gen.params, states[want].gen.params)
     _tree_close(st_t.gen.params, st.gen.params)
+
+
+def test_fused_vae_gan_chunk_matches_under_mesh():
+    """`main.py --mesh_data N` executes run_epochs_fused(mesh=...) — the
+    fused dispatch with DP sharding constraints (runner.py:203,
+    train/fused.py _make_gather/_take_sharded). A DP(8) fused chunk must
+    produce the same params and metrics as the single-placement fused chunk
+    on the same index plan (VERDICT r2 item 2)."""
+    from flowerdiff.parallel import create_mesh
+
+    mesh = create_mesh(model=1)  # DP over the 8 virtual CPU devices
+    NB = 16  # batch 8 shards over the data axis; 2 steps/epoch
+    r = np.random.default_rng(5)
+    images = r.integers(0, 256, (NB, H, H, 3), dtype=np.uint8)
+    labels = r.integers(0, 5, (NB,), dtype=np.int64)
+    ds = DeviceDataset(images, labels)
+    ds_mesh = DeviceDataset(images, labels, mesh=mesh)
+
+    cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=8,
+    )
+    rng = jax.random.key(0)
+    state, vae, disc = create_vae_gan_state(rng, cfg, img_size=H)
+    state_m = jax.tree.map(jnp.copy, state)
+    init_gen = jax.tree.map(np.asarray, state.gen.params)
+
+    epochs, bsz = 2, 8
+    steps = NB // bsz
+    idx, offsets, _ = epoch_rows(3, NB, bsz, epochs=epochs)
+    gates = jnp.tile(gates_array(vae_gan_loss_gates(1, 10)), (idx.shape[0], 1))
+    step_rng, data_key = jax.random.key(2), jax.random.key(3)
+    args = (idx, offsets, gates, step_rng, data_key, None)
+
+    plain = make_fused_vae_gan_epochs(vae, disc, cfg, steps_per_epoch=steps)
+    state, metrics = plain(state, ds.images, ds.labels, *args)
+
+    meshed = make_fused_vae_gan_epochs(vae, disc, cfg, mesh=mesh,
+                                       steps_per_epoch=steps)
+    state_m, metrics_m = meshed(state_m, ds_mesh.images, ds_mesh.labels, *args)
+
+    np.testing.assert_allclose(
+        np.asarray(metrics["total"]), np.asarray(metrics_m["total"]),
+        rtol=5e-5, atol=1e-6,
+    )
+    _params_close_to_update_scale(init_gen, state.gen.params, state_m.gen.params)
+    _tree_close(state.centers, state_m.centers, rtol=5e-4, atol=1e-5)
+
+
+def test_fused_latent_chunk_matches_under_mesh():
+    """Same check for the latent-diffusion fused chunk (the other code path
+    `--mesh_data N` drives, runner.py:298)."""
+    from flowerdiff.parallel import create_mesh
+
+    mesh = create_mesh(model=1)
+    NB = 16
+    r = np.random.default_rng(6)
+    images = r.integers(0, 256, (NB, H, H, 3), dtype=np.uint8)
+    labels = r.integers(0, 5, (NB,), dtype=np.int64)
+    ds = DeviceDataset(images, labels)
+    ds_mesh = DeviceDataset(images, labels, mesh=mesh)
+
+    cfg = LatentDiffusionConfig(
+        latent_dim=8, hidden_dims=(16, 16), time_emb_dim=8, num_classes=5,
+        steps_per_epoch=2, n_steps=50,
+    )
+    rng = jax.random.key(0)
+    state, model, sched = create_latent_diffusion_state(rng, cfg)
+    state_m = jax.tree.map(jnp.copy, state)
+
+    vae_cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=10,
+    )
+    vstate, vae, _ = create_vae_gan_state(jax.random.key(1), vae_cfg, img_size=H)
+    vae_params = vstate.gen.params
+
+    epochs, bsz = 2, 8
+    steps = NB // bsz
+    idx, offsets, _ = epoch_rows(4, NB, bsz, epochs=epochs)
+    step_rng, data_key = jax.random.key(2), jax.random.key(3)
+
+    plain = make_fused_latent_epochs(model, vae, sched, cfg,
+                                     steps_per_epoch=steps)
+    state, losses = plain(state, vae_params, sched, ds.images, ds.labels,
+                          None, idx, offsets, step_rng, data_key, None)
+
+    meshed = make_fused_latent_epochs(model, vae, sched, cfg, mesh=mesh,
+                                      steps_per_epoch=steps)
+    state_m, losses_m = meshed(state_m, vae_params, sched, ds_mesh.images,
+                               ds_mesh.labels, None, idx, offsets, step_rng,
+                               data_key, None)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_m),
+                               rtol=5e-5, atol=1e-6)
+    _tree_close(state.params, state_m.params, rtol=5e-4, atol=1e-5)

@@ -73,3 +73,25 @@ def test_sample_quality_report_bundle():
     assert set(report) >= {"classifier_accuracy", "latent_mmd", "chance_accuracy"}
     assert 0.0 <= report["classifier_accuracy"] <= 1.0
     assert np.isfinite(report["latent_mmd"])
+
+
+def test_sample_quality_report_extra_splits():
+    """extra_splits scores the SAME generated latents against additional
+    reference sets (train + held-out rows from one generation pass)."""
+    imgs = jnp.zeros((32, 4, 4, 3))
+    imgs_train = jnp.ones((32, 4, 4, 3))
+
+    def encode_mu(x):
+        base = float(x[0, 0, 0, 0])  # 0.0 for heldout, 1.0 for train
+        return base + jnp.tile(
+            jnp.arange(x.shape[0], dtype=jnp.float32)[:, None] % 5, (1, 8))
+
+    report = sample_quality_report(
+        _FakeSampler(), _classify, encode_mu, imgs, jax.random.key(1),
+        num_classes=5, n_per_class=4, max_classes=5, max_real=32,
+        extra_splits={"train": imgs_train},
+    )
+    assert "latent_mmd_train" in report
+    assert np.isfinite(report["latent_mmd_train"])
+    # the shifted train reference must score differently from heldout
+    assert report["latent_mmd_train"] != report["latent_mmd"]

@@ -52,9 +52,39 @@ def test_bucketing_rounds_up_and_slices_back():
     assert service.bucket_size(1) == 4
     assert service.bucket_size(4) == 4
     assert service.bucket_size(5) == 8
-    assert service.bucket_size(9) == 16  # multiple of top bucket
+    # oversize requests are CHUNKED, not padded to a mega-batch
+    assert service.request_plan(9) == [8, 4]
+    assert service.request_plan(16) == [8, 8]
+    assert service.request_plan(17) == [8, 8, 4]
+    assert service.request_plan(3) == [4]
     out = service.sample_classes([2, 4, 5], n_per_class=1, rng=jax.random.key(3))
     assert out.shape == (3, 64, 64, 3)  # padded to 4 internally, sliced back
+
+
+def test_oversize_request_chunks_within_ladder_waste():
+    """A request just past the top bucket runs [top, small-tail] chunks —
+    not a padded multiple of the top bucket (VERDICT r2 item 9: a
+    513-image request with a 512 top bucket must cost 520, not 1024).
+    Scaled here: 9 images with top bucket 8 -> [8, 4] = 12 sampled."""
+    service = _tiny_service(buckets=(4, 8))
+    seen = []
+    orig = service.sampler.sample
+
+    def spy(rng, batch, *cond):
+        seen.append(batch)
+        return orig(rng, batch, *cond)
+
+    service.sampler.sample = spy
+    out = service.sample_classes(list(range(3)), n_per_class=3,
+                                 rng=jax.random.key(8))  # n=9
+    assert out.shape == (9, 64, 64, 3)
+    assert seen == [8, 4]  # <= one ladder step of waste
+    assert sum(seen) < 16  # strictly better than the old 2*top mega-batch
+
+    seen.clear()
+    lat = service.sample_latents(jnp.arange(13) % 6, jax.random.key(9))
+    assert lat.shape == (13, 16)
+    assert seen == [8, 8]  # 13 -> top chunk + bucket_size(5)=8 tail
 
 
 def test_bucketing_reuses_one_program_across_request_sizes():
@@ -114,3 +144,33 @@ def test_warmup_covers_buckets():
     service.sampler.sample = spy
     service.warmup(jax.random.key(7))
     assert seen == [4]
+
+
+def test_ddim_serving_path():
+    """sampler_kind='ddim' routes requests through the accelerated DDIM
+    scan (VERDICT r2 item 8: DDIM must be reachable from serving)."""
+    model = ConditionalLatentDenoiser(
+        latent_dim=16, hidden_dims=(16, 32, 16), time_emb_dim=16, num_classes=6
+    )
+    vae = FlowerVAE(latent_dim=16, num_classes=6,
+                    channels=(8, 16, 24, 32), head_width=32)
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 16)), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32))
+    vae_params = vae.init({"params": rng}, jnp.zeros((1, 64, 64, 3)), rng,
+                          method=FlowerVAE.init_all)
+    service = SamplingService(model, params, vae, vae_params,
+                              sched=linear_schedule(32), use_fused=False,
+                              buckets=(4,), sampler_kind="ddim", ddim_steps=4)
+    seen = []
+    inner = service.sampler._inner  # the DDIMSampler view wraps this
+    orig = inner.ddim
+
+    def spy(rng_, batch, *cond, num_steps):
+        seen.append((batch, num_steps))
+        return orig(rng_, batch, *cond, num_steps=num_steps)
+
+    inner.ddim = spy
+    imgs = service.sample_classes([1, 2], n_per_class=1, rng=jax.random.key(1))
+    assert imgs.shape == (2, 64, 64, 3)
+    assert seen == [(4, 4)]  # bucketed batch through the DDIM path

@@ -186,3 +186,35 @@ def test_onecycle_matches_torch():
     assert abs(np.argmax(our_lrs) - np.argmax(torch_lrs)) <= 2
     np.testing.assert_allclose(max(our_lrs), max(torch_lrs), rtol=1e-3)
     assert our_lrs[-1] < 1e-6 and torch_lrs[-1] < 1e-6
+
+
+def test_remat_vae_gan_step_matches_plain():
+    """remat=True (HBM-traffic lever, models/vae.py) is a pure scheduling
+    change: identical params at init, identical step metrics."""
+    from flowerdiff.train.schedules import vae_gan_loss_gates
+    from flowerdiff.train.vae_gan import (
+        VAEGANConfig,
+        create_vae_gan_state,
+        gates_array,
+        make_vae_gan_step,
+    )
+
+    imgs = jax.random.uniform(jax.random.key(1), (4, 64, 64, 3))
+    labels = jnp.arange(4, dtype=jnp.int32) % 5
+    gates = gates_array(vae_gan_loss_gates(200, 300))
+    outs = {}
+    for remat in (False, True):
+        cfg = VAEGANConfig(latent_dim=8, channels=(8, 16, 24, 32),
+                           head_width=32, num_classes=5, use_perceptual=False,
+                           total_steps=4, remat=remat)
+        state, vae, disc = create_vae_gan_state(jax.random.key(0), cfg)
+        step = make_vae_gan_step(vae, disc, cfg)
+        state, m = step(state, imgs, labels, gates, jax.random.key(2), None)
+        outs[remat] = ({k: float(v) for k, v in m.items()}, state.gen.params)
+    for k in outs[False][0]:
+        np.testing.assert_allclose(outs[False][0][k], outs[True][0][k],
+                                   rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[False][1]),
+                    jax.tree.leaves(outs[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -207,13 +207,15 @@ def main():
     labels = jnp.arange(tb, dtype=jnp.int32) % 102
     gates = gates_array(vae_gan_loss_gates(200, 1200))
 
-    for label, use_vgg, dtype in (
-        ("vae_gan_step_full_objective", True, "float32"),
-        ("vae_gan_step_no_perceptual", False, "float32"),
-        ("vae_gan_step_full_bf16", True, "bfloat16"),
+    for label, use_vgg, dtype, remat in (
+        ("vae_gan_step_full_objective", True, "float32", False),
+        ("vae_gan_step_no_perceptual", False, "float32", False),
+        ("vae_gan_step_full_bf16", True, "bfloat16", False),
+        ("vae_gan_step_full_remat", True, "float32", True),
+        ("vae_gan_step_full_bf16_remat", True, "bfloat16", True),
     ):
         cfg = VAEGANConfig(total_steps=1000, use_perceptual=use_vgg,
-                           compute_dtype=dtype)
+                           compute_dtype=dtype, remat=remat)
         state, vae_t, disc = create_vae_gan_state(rng, cfg)
         vgg = VGGPerceptual() if use_vgg else None
         step = make_vae_gan_step(vae_t, disc, cfg, vgg=vgg)
