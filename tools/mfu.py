@@ -91,6 +91,7 @@ def main():
     ap.add_argument("--json", default=None)
     ap.add_argument("--skip-fused", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-sampler", action="store_true")
     ap.add_argument("--train-batch", type=int, default=64)
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
@@ -126,7 +127,7 @@ def main():
         )
         fused_ctx = (fused_sample, prepare_fused_sampler(model, params))
 
-    for batch in batches:
+    for batch in ([] if args.skip_sampler else batches):
         x0 = jnp.zeros((batch, 256))
         classes = jnp.arange(batch, dtype=jnp.int32) % 102
         t_vec = jnp.zeros((batch,), jnp.int32)
