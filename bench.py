@@ -78,6 +78,25 @@ def measure_ours(batch=50, n_steps=1000, latent=256, k_short=4, k_long=16):
         z = fused_sample(model, p, sched, key, batch, cc, prep={**prep_arrays, "n_stages": prep["n_stages"]})
         return vae.apply(vp, z, method=FlowerVAE.decode)
 
+    # Serving-aligned lane variant: a 50-image request rides the 64 bucket
+    # (exactly what serving.SamplingService does — batch is a compiled
+    # constant and buckets ladder at 64). The MXU lane width is 64, so a
+    # batch-50 program wastes 22% of every matmul tile; padding to 64 and
+    # slicing back delivers the same 50 images faster. The padded compute
+    # is INSIDE the timed region; throughput still counts only the 50
+    # requested images.
+    lane = 64
+    classes_lane = jnp.concatenate(
+        [classes, jnp.zeros((lane - batch,), jnp.int32)]
+    )
+
+    @jax.jit
+    def pipeline_fused_lane_jit(p, prep_arrays, vp, img, key):
+        cc = (classes_lane + img[0, 0, 0, 0].astype(jnp.int32) % 2) % 102
+        z = fused_sample(model, p, sched, key, lane, cc,
+                         prep={**prep_arrays, "n_stages": prep["n_stages"]})
+        return vae.apply(vp, z, method=FlowerVAE.decode)[:batch]
+
     prep_arrays = {k: v for k, v in prep.items() if k != "n_stages"}
     sp = sampler.params
 
@@ -88,6 +107,10 @@ def measure_ours(batch=50, n_steps=1000, latent=256, k_short=4, k_long=16):
         return pipeline_fused_jit(params, prep_arrays, vae_params, img,
                                   jax.random.fold_in(rng, i))
 
+    def pipeline_fused_lane(img, i):
+        return pipeline_fused_lane_jit(params, prep_arrays, vae_params, img,
+                                       jax.random.fold_in(rng, i))
+
     def chain_time(fn, k):
         x = jnp.zeros((batch, 64, 64, 3))
         t0 = time.perf_counter()
@@ -97,7 +120,9 @@ def measure_ours(batch=50, n_steps=1000, latent=256, k_short=4, k_long=16):
         return time.perf_counter() - t0
 
     results = {}
-    for name, fn in (("xla_scan", pipeline_xla), ("pallas_fused", pipeline_fused)):
+    for name, fn in (("xla_scan", pipeline_xla),
+                     ("pallas_fused", pipeline_fused),
+                     ("pallas_fused_64lane", pipeline_fused_lane)):
         _log(f"compiling/warming {name}...")
         chain_time(fn, 2)  # warm/compile
         t_short = min(chain_time(fn, k_short) for _ in range(2))
