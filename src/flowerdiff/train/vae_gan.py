@@ -173,10 +173,19 @@ def make_vae_gan_step_body(
         )
         reparam_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
-        # ---- Discriminator update (v1:1097-1102): recon is detached. ----
-        recon_sg, *_ = forward(state.gen.params, images, reparam_rng, dropout_rng)
-        recon_sg = jax.lax.stop_gradient(recon_sg)
+        # ---- SINGLE generator forward, residuals captured for the backward.
+        # The reference computes recon exactly once (v1:1069); the D step uses
+        # recon.detach() (v1:1098) and the G adv term reuses the same tensor
+        # against the updated D (v1:1105). jax.vjp mirrors that: one encoder+
+        # decoder forward feeds both the D update (grad-stopped) and the G
+        # backward, instead of tracing the G forward twice. ----
+        (recon, mu, logvar, z), g_vjp = jax.vjp(
+            lambda p: forward(p, images, reparam_rng, dropout_rng),
+            state.gen.params,
+        )
+        recon_sg = jax.lax.stop_gradient(recon)
 
+        # ---- Discriminator update (v1:1097-1102): recon is detached. ----
         def d_loss_fn(d_params):
             real_logits = disc.apply({"params": d_params}, images)
             fake_logits = disc.apply({"params": d_params}, recon_sg)
@@ -185,9 +194,12 @@ def make_vae_gan_step_body(
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc.params)
         new_disc = state.disc.apply_gradients(grads=d_grads)
 
-        # ---- Generator update against the UPDATED discriminator (v1:1105). ----
-        def g_loss_fn(g_params):
-            recon, mu, logvar, z = forward(g_params, images, reparam_rng, dropout_rng)
+        # ---- Generator update against the UPDATED discriminator (v1:1105).
+        # The head loss is differentiated w.r.t. BOTH the forward outputs
+        # (pulled back through g_vjp into encoder/decoder params) and g_params
+        # directly (the classifier head consumes z with its own params). ----
+        def g_loss_fn(outs, g_params):
+            recon, mu, logvar, z = outs
             recon_loss = euclidean_distance_loss(recon, images)
             if use_vgg:
                 perceptual = perceptual_loss(vgg_params, recon, images)
@@ -234,9 +246,11 @@ def make_vae_gan_step_body(
             }
             return total, aux
 
-        (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.gen.params
-        )
+        (_, aux), (outs_ct, head_grads) = jax.value_and_grad(
+            g_loss_fn, argnums=(0, 1), has_aux=True
+        )((recon, mu, logvar, z), state.gen.params)
+        (body_grads,) = g_vjp(outs_ct)
+        g_grads = jax.tree.map(jnp.add, body_grads, head_grads)
         new_gen = state.gen.apply_gradients(grads=g_grads)
 
         # ---- EMA center update (v1:1132-1134), gated by the epoch flag. ----
