@@ -251,6 +251,27 @@ def main():
     rows.append(fmt_row("latent_ddpm_step", tb, flops, secs)
                 | {"img_per_sec": tb / secs})
 
+    # bf16 variant: what `--bf16` (configs.bf16_preset) actually runs —
+    # denoiser compute AND the frozen-VAE encode both in bfloat16 (same f32
+    # params; flax dtype= casts per use).
+    lcfg_bf16 = LatentDiffusionConfig(compute_dtype="bfloat16")
+    dstate16, dmodel16, dsched16 = create_latent_diffusion_state(rng, lcfg_bf16)
+    vae_bf16 = FlowerVAE(dtype=jnp.bfloat16)
+    dstep16 = make_latent_diffusion_step(dmodel16, vae_bf16, dsched16, lcfg_bf16)
+    dargs16 = (dstate16, vp_only, dsched16, images, labels, None, rng)
+    flops16, bytes16 = hlo_costs(dstep16, *dargs16)
+    print(f"  [latent_ddpm_step_bf16] bytes accessed {bytes16/1e9:.1f} GB, "
+          f"arithmetic intensity {flops16/bytes16:.1f} FLOP/B", flush=True)
+    dbox16 = [dstate16]
+
+    def drun16(x, i):
+        dbox16[0], loss = dstep16(dbox16[0], vp_only, dsched16, images, labels,
+                                  None, jax.random.fold_in(rng, i))
+        return loss
+    secs16 = chain_time(drun16, lambda: jnp.zeros(()))
+    rows.append(fmt_row("latent_ddpm_step_bf16", tb, flops16, secs16)
+                | {"img_per_sec": tb / secs16})
+
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"peak_flops": PEAK_FLOPS,
