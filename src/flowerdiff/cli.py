@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="classifier-free guidance at sampling (cond_study "
                         "best: 3.0; needs a model trained with "
                         "--cond_dropout > 0)")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="per-step EMA of the denoiser weights; sampling "
+                        "uses the EMA copy (lever study: "
+                        "artifacts/cond_sweep_r3)")
     p.add_argument("--sampler", default=None, choices=["ancestral", "ddim"],
                    help="sampling mode for grids/sweeps: ancestral (the "
                         "reference's 1000 steps, default) or ddim")
@@ -137,11 +141,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         )
     cfg_flags_given = (
         args.cond_dropout is not None or args.guidance_scale is not None
+        or args.ema_decay is not None
     )
     if cfg_flags_given and preset.latent is None:
         print(
-            f"warning: --cond_dropout/--guidance_scale ignored — preset "
-            f"{args.version} has no latent-diffusion stage (pixel-space DDPM)"
+            f"warning: --cond_dropout/--guidance_scale/--ema_decay ignored — "
+            f"preset {args.version} has no latent-diffusion stage "
+            f"(pixel-space DDPM)"
         )
     if cfg_flags_given and preset.latent is not None:
         preset = dataclasses.replace(
@@ -153,6 +159,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 guidance_scale=(args.guidance_scale
                                 if args.guidance_scale is not None
                                 else preset.latent.guidance_scale),
+                ema_decay=(args.ema_decay
+                           if args.ema_decay is not None
+                           else preset.latent.ema_decay),
             ),
         )
     mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)

@@ -466,16 +466,34 @@ class PipelineRunner:
         return mean, std
 
     def _quality_report(self, sampler, encode_mu_fn):
-        """Classifier accuracy on generated samples + latent MMD, appended to
+        """Classifier accuracy on generated samples, latent MMD, and the
+        image-space perceptual Fréchet distance (FID analogue in the
+        perceptual backbone's feature space), appended to
         <results_dir>/sample_quality.jsonl (utils/quality.py)."""
         import json
 
+        from flowerdiff.models.vgg import (
+            IMAGENET_MEAN, IMAGENET_STD, VGGFeatures, load_vgg_params,
+        )
         from flowerdiff.utils.quality import sample_quality_report
 
         vae, vae_params = self._trained_vae
         classify_jit = jax.jit(
             lambda p, z: vae.apply({"params": p}, z, method=FlowerVAE.classify)
         )
+        decode_jit = jax.jit(
+            lambda p, z: vae.apply({"params": p}, z, method=FlowerVAE.decode)
+        )
+        vgg_model = VGGFeatures()
+        vgg_params, _ = load_vgg_params()
+
+        @jax.jit
+        def pooled_feats(p, x):
+            f = vgg_model.apply(
+                p, (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            )
+            return jnp.mean(f, axis=(1, 2))  # (N, 256) relu3_3 global pool
+
         report = sample_quality_report(
             sampler,
             lambda z: classify_jit(vae_params, z),
@@ -484,13 +502,17 @@ class PipelineRunner:
             jax.random.key(self.seed + 7),
             num_classes=len(self.class_names),
             extra_splits={"train": self.train_images_eval},
+            decode_fn=lambda z: decode_jit(vae_params, z),
+            feature_fn=lambda x: pooled_feats(vgg_params, x),
         )
         print(
             "Sample quality: classifier acc "
             f"{report['classifier_accuracy']:.3f} (chance "
             f"{report['chance_accuracy']:.3f}), latent MMD heldout "
             f"{report['latent_mmd']:.4f} / train "
-            f"{report['latent_mmd_train']:.4f}"
+            f"{report['latent_mmd_train']:.4f}, perceptual FD heldout "
+            f"{report['perceptual_fd']:.1f} / train "
+            f"{report['perceptual_fd_train']:.1f}"
         )
 
         def _safe(d):
@@ -502,9 +524,11 @@ class PipelineRunner:
                   ("classifier_accuracy", "chance_accuracy", "n_generated")}
         rows = [
             {"split": "heldout", **shared, "latent_mmd": report["latent_mmd"],
+             "perceptual_fd": report.get("perceptual_fd"),
              "n_real": report["n_real"]},
             {"split": "train", **shared,
-             "latent_mmd": report["latent_mmd_train"]},
+             "latent_mmd": report["latent_mmd_train"],
+             "perceptual_fd": report.get("perceptual_fd_train")},
         ]
         with open(os.path.join(self.results_dir, "sample_quality.jsonl"), "a") as f:
             for row in rows:

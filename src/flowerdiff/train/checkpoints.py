@@ -38,19 +38,27 @@ def parse_epoch_from_filename(path: str) -> Optional[int]:
 
 def state_to_tree(train_state) -> dict:
     """Serialize a flax TrainState to a pure-array pytree: params + optimizer
-    state (Adam moments, schedule position) + step counter."""
-    return {
+    state (Adam moments, schedule position) + step counter (+ the EMA
+    weight tree for EMATrainState, so EMA sampling resumes exactly)."""
+    tree = {
         "params": train_state.params,
         "opt_state": train_state.opt_state,
         "step": train_state.step,
     }
+    ema = getattr(train_state, "ema_params", None)
+    if ema is not None:
+        tree["ema_params"] = ema
+    return tree
 
 
 def tree_into_state(train_state, tree: dict):
     """Rebuild a TrainState from a `state_to_tree` pytree (exact resume)."""
-    return train_state.replace(
+    state = train_state.replace(
         params=tree["params"], opt_state=tree["opt_state"], step=tree["step"]
     )
+    if "ema_params" in tree:
+        state = state.replace(ema_params=tree["ema_params"])
+    return state
 
 
 def vae_gan_state_to_tree(state) -> dict:

@@ -14,11 +14,12 @@ no_grad pass, no host round-trip for the latents).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
+from flax import struct
 from flax.training.train_state import TrainState
 
 from flowerdiff.diffusion import DiffusionSchedule, ddpm_eps_loss, linear_schedule
@@ -69,6 +70,32 @@ class LatentDiffusionConfig:
     # reference lacks). Trajectory/denoise-path viz stays ancestral.
     sampler: str = "ancestral"
     ddim_steps: int = 50
+    # Per-step exponential moving average of the denoiser weights
+    # (beyond-reference lever from artifacts/cond_sweep_r3: worth ~+0.01
+    # accuracy at shallow horizons, ~nil at saturation). None = off (exact
+    # reference semantics). When set, sampling uses the EMA weights.
+    ema_decay: Optional[float] = None
+
+
+class EMATrainState(TrainState):
+    """TrainState that also advances an EMA copy of `params` on every
+    `apply_gradients` — so the per-batch loop AND the fused whole-epoch
+    scan dispatches (train/fused.py, which carry this state as a pytree)
+    get per-STEP EMA without touching their step bodies. `ema_params` is a
+    pytree leaf (checkpointed for exact resume); `ema_decay` is static."""
+
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
+
+    def apply_gradients(self, *, grads, **kwargs):
+        new = super().apply_gradients(grads=grads, **kwargs)
+        if self.ema_params is not None:
+            d = self.ema_decay
+            new = new.replace(ema_params=jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                self.ema_params, new.params,
+            ))
+        return new
 
 
 def create_latent_diffusion_state(
@@ -105,6 +132,11 @@ def create_latent_diffusion_state(
             params = model.init(r, dummy_z, dummy_t, dummy_c, dummy_c)["params"]
         else:
             params = model.init(r, dummy_z, dummy_t, dummy_c)["params"]
+        if cfg.ema_decay is not None:
+            return EMATrainState.create(
+                apply_fn=model.apply, params=params, tx=tx,
+                ema_params=params, ema_decay=float(cfg.ema_decay),
+            )
         return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
     state = jax.jit(_build)(rng)
@@ -248,10 +280,17 @@ class LatentDiffusionTrainer:
         losses = np.asarray(jax.device_get(losses)).reshape(epochs, steps)
         return losses.mean(axis=1).tolist()
 
+    @property
+    def sampling_params(self):
+        """EMA weights when cfg.ema_decay is set, else the live weights."""
+        ema = getattr(self.state, "ema_params", None)
+        return ema if ema is not None else self.state.params
+
     def sampler(self, fused: bool = False):
-        """Jitted sampling facade over the current params (diffusion/api.py);
-        wrapped in the latent codec when training is z-scored, and in the
-        DDIM view when the preset selects the accelerated sampler."""
+        """Jitted sampling facade over the sampling params — the EMA weights
+        when cfg.ema_decay is set (diffusion/api.py); wrapped in the latent
+        codec when training is z-scored, and in the DDIM view when the
+        preset selects the accelerated sampler."""
         from flowerdiff.diffusion.api import (
             DDIMSampler,
             DiffusionSampler,
@@ -260,7 +299,7 @@ class LatentDiffusionTrainer:
         )
 
         cls = FusedDiffusionSampler if fused else DiffusionSampler
-        sampler = cls(self.model, {"params": self.state.params}, self.sched,
+        sampler = cls(self.model, {"params": self.sampling_params}, self.sched,
                       (self.cfg.latent_dim,), clip_x0=self.cfg.clip_denoised,
                       guidance_scale=self.cfg.guidance_scale)
         if self.latent_stats is not None:
@@ -270,7 +309,7 @@ class LatentDiffusionTrainer:
         return sampler
 
     def eps_fn(self, params=None, deterministic: bool = True):
-        params = self.state.params if params is None else params
+        params = self.sampling_params if params is None else params
 
         def fn(xt, t, *cond):
             return self.model.apply({"params": params}, xt, t, *cond,

@@ -11,7 +11,13 @@ these metrics make sample quality a NUMBER that moves when sampling breaks:
     generated latents — distribution-level match, label-free. Grows when the
     sampler drifts off the VAE posterior manifold.
 
-Both run entirely on device over jitted functions; hosts fetch one scalar.
+  - `perceptual_fd`: Fréchet distance between pooled perceptual-feature
+    Gaussians of real vs generated IMAGES (an FID analogue in the
+    framework's own perceptual space — the reference has no image-space
+    metric at all). Feature extraction runs on device; the 256×256
+    covariance algebra runs on host numpy.
+
+Device-side metrics run over jitted functions; hosts fetch one scalar.
 """
 from __future__ import annotations
 
@@ -91,6 +97,72 @@ def latent_mmd(
     return float(k_rr + k_gg - 2.0 * k_rg)
 
 
+def frechet_from_stats(
+    mu1: np.ndarray, sigma1: np.ndarray,
+    mu2: np.ndarray, sigma2: np.ndarray,
+) -> float:
+    """Fréchet distance between N(mu1, sigma1) and N(mu2, sigma2):
+
+        |mu1-mu2|^2 + Tr(S1 + S2 - 2 (S1 S2)^{1/2})
+
+    The cross term uses Tr((S1 S2)^{1/2}) = Tr((R S2 R)^{1/2}) with
+    R = S1^{1/2} — both factors symmetric PSD, so every matrix sqrt is an
+    eigh with eigenvalues clipped at 0 (no scipy.sqrtm, which this image
+    lacks; numerically this is the standard FID formulation)."""
+    mu1 = np.asarray(mu1, np.float64)
+    mu2 = np.asarray(mu2, np.float64)
+    sigma1 = np.asarray(sigma1, np.float64)
+    sigma2 = np.asarray(sigma2, np.float64)
+
+    def psd_sqrt(s):
+        w, v = np.linalg.eigh((s + s.T) / 2.0)
+        return (v * np.sqrt(np.clip(w, 0.0, None))) @ v.T
+
+    r = psd_sqrt(sigma1)
+    m = r @ sigma2 @ r
+    w = np.linalg.eigvalsh((m + m.T) / 2.0)
+    tr_cross = float(np.sum(np.sqrt(np.clip(w, 0.0, None))))
+    diff = mu1 - mu2
+    fd = float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+               - 2.0 * tr_cross)
+    return max(fd, 0.0)
+
+
+def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+    """Fréchet distance between Gaussians fit to two feature sets (N,d)/(M,d).
+
+    Small-sample note: with N,M ~ a few hundred and d=256 the covariance
+    estimates are rank-deficient and the absolute value is biased upward;
+    compare runs only at MATCHED sample counts (same caveat as small-sample
+    FID). Non-finite features (diverged sampler) report inf."""
+    a = np.asarray(feats_a, np.float64)
+    b = np.asarray(feats_b, np.float64)
+    if not (np.isfinite(a).all() and np.isfinite(b).all()):
+        return float("inf")
+    return frechet_from_stats(
+        a.mean(0), np.cov(a, rowvar=False),
+        b.mean(0), np.cov(b, rowvar=False),
+    )
+
+
+def perceptual_fd(
+    feature_fn: Callable[[jax.Array], jax.Array],
+    real_images: jax.Array,
+    generated_images: jax.Array,
+) -> float:
+    """FID analogue in the framework's perceptual space: Fréchet distance
+    between pooled VGG-prefix features (models/vgg.py relu3_3, global mean
+    pool -> 256-d) of real vs generated image sets.
+
+    The shipped perceptual weights are the validated substitute backbone
+    (models/vgg.py docstring), so treat values as RELATIVE — comparable
+    across runs of this framework, not against published ImageNet-FID
+    numbers."""
+    fa = np.asarray(feature_fn(real_images))
+    fb = np.asarray(feature_fn(generated_images))
+    return frechet_distance(fa, fb)
+
+
 def sample_quality_report(
     sampler,
     classify_fn,
@@ -102,6 +174,8 @@ def sample_quality_report(
     max_classes: int = 26,
     max_real: int = 256,
     extra_splits: Optional[dict] = None,
+    decode_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    feature_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> dict:
     """The final-sweep quality bundle: classifier accuracy + MMD vs the
     encoded real-set latents. Returns plain-float dict for JSONL logging.
@@ -109,7 +183,11 @@ def sample_quality_report(
     extra_splits: optional {name: images} — the same generated latents are
     also scored against each extra reference set (one generation pass),
     emitted as `latent_mmd_{name}` (VERDICT r2 item 7: train AND held-out
-    rows from one sweep)."""
+    rows from one sweep).
+
+    decode_fn + feature_fn: when both are given, the generated latents are
+    decoded to images once and `perceptual_fd` (image-space FID analogue)
+    is emitted per split as `perceptual_fd` / `perceptual_fd_{name}`."""
     acc_rng, sample_rng = jax.random.split(rng)
     acc = classifier_accuracy_on_samples(
         sampler, classify_fn, acc_rng, num_classes,
@@ -131,4 +209,13 @@ def sample_quality_report(
         report[f"latent_mmd_{name}"] = latent_mmd(
             encode_mu_fn(extra[:max_real]), generated
         )
+    if decode_fn is not None and feature_fn is not None:
+        gen_feats = np.asarray(feature_fn(decode_fn(generated)))
+        report["perceptual_fd"] = frechet_distance(
+            np.asarray(feature_fn(images[:max_real])), gen_feats
+        )
+        for name, extra in (extra_splits or {}).items():
+            report[f"perceptual_fd_{name}"] = frechet_distance(
+                np.asarray(feature_fn(extra[:max_real])), gen_feats
+            )
     return report

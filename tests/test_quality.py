@@ -95,3 +95,56 @@ def test_sample_quality_report_extra_splits():
     assert np.isfinite(report["latent_mmd_train"])
     # the shifted train reference must score differently from heldout
     assert report["latent_mmd_train"] != report["latent_mmd"]
+
+
+def test_frechet_from_stats_closed_form():
+    """Exact closed form: N(0, I_d) vs N(mu, 4 I_d) gives
+    |mu|^2 + d*(1 + 4 - 2*2) = |mu|^2 + d."""
+    from flowerdiff.utils.quality import frechet_from_stats
+
+    d = 6
+    mu = np.arange(d, dtype=np.float64) * 0.5
+    fd = frechet_from_stats(np.zeros(d), np.eye(d), mu, 4.0 * np.eye(d))
+    assert abs(fd - (float(mu @ mu) + d)) < 1e-9
+    # identity case is exactly zero
+    assert frechet_from_stats(mu, np.eye(d), mu, np.eye(d)) < 1e-12
+
+
+def test_frechet_distance_orders_shift_and_handles_nonfinite():
+    from flowerdiff.utils.quality import frechet_distance
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(400, 16))
+    b = rng.normal(size=(400, 16))
+    same = frechet_distance(a, b)
+    shifted = frechet_distance(a, b + 2.0)
+    assert shifted > same + 10.0  # |mu shift|^2 = 64 dominates sampling noise
+    assert frechet_distance(a, np.full_like(b, np.nan)) == float("inf")
+
+
+def test_sample_quality_report_perceptual_fd():
+    """decode_fn + feature_fn add image-space FD rows; a feature-space shift
+    between real and generated images must register."""
+    imgs = jnp.zeros((32, 4, 4, 3))
+
+    def encode_mu(x):
+        return jnp.tile(jnp.arange(x.shape[0], dtype=jnp.float32)[:, None] % 5, (1, 8))
+
+    def decode(z):  # latents -> "images" whose mean pixel tracks z[:, 0]
+        return jnp.broadcast_to(z[:, 0][:, None, None, None], (z.shape[0], 4, 4, 3))
+
+    def feats(x):  # pooled per-image features
+        return jnp.mean(x, axis=(1, 2))
+
+    report = sample_quality_report(
+        _FakeSampler(), _classify, encode_mu, imgs, jax.random.key(1),
+        num_classes=5, n_per_class=4, max_classes=5, max_real=32,
+        extra_splits={"train": jnp.ones((32, 4, 4, 3))},
+        decode_fn=decode, feature_fn=feats,
+    )
+    assert np.isfinite(report["perceptual_fd"])
+    assert np.isfinite(report["perceptual_fd_train"])
+    # generated means span 0..4 vs all-zero heldout vs all-one train: both
+    # positive, and the two references score differently
+    assert report["perceptual_fd"] > 0.0
+    assert report["perceptual_fd"] != report["perceptual_fd_train"]
