@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ddim_steps", type=int, default=None,
                    help="DDIM step count (default 50; used with "
                         "--sampler ddim)")
+    p.add_argument("--checkpoint_every", type=int, default=None,
+                   help="diffusion checkpoint cadence in epochs (default: "
+                        "the visualization cadence, matching the reference's "
+                        "per-viz saves v1:1282; raise it for long fused runs "
+                        "where a full-state save every 50 epochs dominates "
+                        "wall time)")
     p.add_argument("--no-final-sweep", action="store_true",
                    help="skip the final sample-grid/paths/GIF sweep (v1:1406-1429)")
     p.add_argument("--no-cadence-viz", action="store_true",
@@ -189,6 +195,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             batch_size=args.batch_size,
             final_sweep=not args.no_final_sweep,
             cadence_viz=not args.no_cadence_viz,
+            checkpoint_every=args.checkpoint_every,
         )
 
 

@@ -133,14 +133,15 @@ class PipelineRunner:
         return (vae_gan_state_to_tree(best_state) if best_tree is True
                 else best_tree)
 
-    def _chunk_size(self, epoch: int, total: int, cadence: Optional[int]) -> int:
+    def _chunk_size(self, epoch: int, total: int,
+                    *cadences: Optional[int]) -> int:
         """Epochs for the next fused dispatch: never crosses a viz/checkpoint
         cadence boundary (so cadence artifacts still appear at the same
         absolute epochs as the per-step loop) and never exceeds the cap."""
         n = min(self.max_epochs_per_dispatch, total - epoch)
-        if cadence:
-            to_boundary = cadence - (epoch % cadence)
-            n = min(n, to_boundary)
+        for cadence in cadences:
+            if cadence:
+                n = min(n, cadence - (epoch % cadence))
         return max(1, n)
 
     def _load_data(self, data_root, dataset, synthetic_size):
@@ -183,6 +184,7 @@ class PipelineRunner:
         batch_size: Optional[int] = None,
         final_sweep: bool = True,
         cadence_viz: bool = True,
+        checkpoint_every: Optional[int] = None,
     ):
         preset = self.preset
         assert preset.vae is not None and preset.latent is not None
@@ -310,13 +312,19 @@ class PipelineRunner:
             diff.state = tree_into_state(diff.state, restored)
             print(f"Loaded diffusion model at epoch {start_epoch}")
 
+        # The reference checkpoints at every visualization cadence
+        # (v1:1282); `checkpoint_every` decouples the two for long fused
+        # runs, where a full-state Orbax save every 50 epochs would
+        # dominate wall time (30k epochs = 600 saves).
+        ckpt_every = checkpoint_every or preset.diffusion_visualize_every
+        viz_cadence = preset.diffusion_visualize_every if cadence_viz else None
         diff_losses = []
         ep_rng = np.random.default_rng(self.seed + 1)
         epoch = start_epoch
         while epoch < total_epochs:
             if self.fused_epochs:
                 n = self._chunk_size(
-                    epoch, total_epochs, preset.diffusion_visualize_every
+                    epoch, total_epochs, viz_cadence, ckpt_every
                 )
                 chunk = diff.run_epochs_fused(
                     self.train_ds, n, vae_params,
@@ -332,9 +340,9 @@ class PipelineRunner:
                 diff_losses.append(loss)
                 print(f"Epoch {epoch + off + 1}/{total_epochs}, Average Loss: {loss:.6f}")
             epoch += len(chunk)
-            if epoch % preset.diffusion_visualize_every == 0 or epoch == total_epochs:
-                if cadence_viz:
-                    self._diffusion_viz(diff, decode_fn, encode_mu_fn, epoch)
+            if cadence_viz and epoch % preset.diffusion_visualize_every == 0:
+                self._diffusion_viz(diff, decode_fn, encode_mu_fn, epoch)
+            if epoch % ckpt_every == 0 or epoch == total_epochs:
                 diff_ckpt.save(epoch, state_to_tree(diff.state))
         if diff_losses:
             diff_ckpt.save(total_epochs, state_to_tree(diff.state))
