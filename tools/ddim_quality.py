@@ -49,6 +49,9 @@ def main():
                          "(default: latest)")
     ap.add_argument("--cond_dropout", type=float, default=None)
     ap.add_argument("--guidance_scale", type=float, default=None)
+    ap.add_argument("--ema_decay", type=float, default=None,
+                    help="must match the training run when probing an EMA "
+                         "checkpoint; sampling then uses the EMA weights")
     ap.add_argument("--ddim_steps", default="250,100,50,25")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny preset (match a --tiny smoke run)")
@@ -70,12 +73,14 @@ def main():
         from flowerdiff.configs import tiny_preset
 
         preset = tiny_preset(preset)
-    if args.cond_dropout is not None or args.guidance_scale is not None:
+    if (args.cond_dropout is not None or args.guidance_scale is not None
+            or args.ema_decay is not None):
         preset = dataclasses.replace(
             preset, latent=dataclasses.replace(
                 preset.latent,
                 cond_dropout=args.cond_dropout or preset.latent.cond_dropout,
                 guidance_scale=args.guidance_scale,
+                ema_decay=args.ema_decay,
             ),
         )
     runner = PipelineRunner(

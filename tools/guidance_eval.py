@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--synthetic_size", type=int, default=1020)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cond_dropout", type=float, default=0.1)
+    ap.add_argument("--ema_decay", type=float, default=None,
+                    help="must match the training run when probing an EMA "
+                         "checkpoint (restore structure contains ema_params); "
+                         "sampling then uses the EMA weights")
     ap.add_argument("--scales", default="1,3,5,7,9,12,15")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--json", default=None)
@@ -54,7 +58,9 @@ def main():
         preset = tiny_preset(preset)
     preset = dataclasses.replace(
         preset,
-        latent=dataclasses.replace(preset.latent, cond_dropout=args.cond_dropout),
+        latent=dataclasses.replace(preset.latent,
+                                   cond_dropout=args.cond_dropout,
+                                   ema_decay=args.ema_decay),
     )
     runner = PipelineRunner(
         preset, results_dir=args.results_dir, dataset="synthetic",
@@ -85,7 +91,7 @@ def main():
     for s in [float(x) for x in args.scales.split(",")]:
         g = None if s <= 1.0 else s
         sampler = DiffusionSampler(
-            diff.model, {"params": diff.state.params}, diff.sched,
+            diff.model, {"params": diff.sampling_params}, diff.sched,
             (lcfg.latent_dim,), clip_x0=lcfg.clip_denoised, guidance_scale=g)
         if diff.latent_stats is not None:
             sampler = NormalizedSampler(sampler, *diff.latent_stats)

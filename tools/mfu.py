@@ -17,7 +17,9 @@ Paths measured:
   - fused Pallas pipeline (same math, same FLOPs), batch sweep
   - VAE-GAN train step, full default objective (incl. VGG perceptual)
   - VAE-GAN train step without the perceptual term (round-1 configuration)
-  - latent-diffusion train step (frozen-VAE encode included)
+  - latent-diffusion train step (frozen-VAE encode included), f32 + bf16
+  - pixel-space (v4/v5) train step f32 + bf16, and its 1000-step sampler
+    at the v4 grid size (16) and reference batch (64)
 
 A path is labeled dispatch-bound when its time barely moves with batch size;
 compute-bound when time scales with FLOPs.
@@ -92,6 +94,7 @@ def main():
     ap.add_argument("--skip-fused", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-sampler", action="store_true")
+    ap.add_argument("--skip-pixel", action="store_true")
     ap.add_argument("--train-batch", type=int, default=64)
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
@@ -183,6 +186,8 @@ def main():
 
     # ---- Train steps (batch = reference 64). ----
     if args.skip_train:
+        if not args.skip_pixel:
+            pixel_section(args, rows, rng)
         if args.json:
             with open(args.json, "w") as f:
                 json.dump({"peak_flops": PEAK_FLOPS,
@@ -272,12 +277,77 @@ def main():
     rows.append(fmt_row("latent_ddpm_step_bf16", tb, flops16, secs16)
                 | {"img_per_sec": tb / secs16})
 
+    if not args.skip_pixel:
+        pixel_section(args, rows, rng)
+
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"peak_flops": PEAK_FLOPS,
                        "backend": jax.default_backend(), "rows": rows}, f,
                       indent=2)
         print(f"wrote {args.json}")
+
+
+def pixel_section(args, rows, rng):
+    """Pixel-space (v4/v5) family rows: train step (f32 + bf16) at
+    --train-batch, plus the 1000-step XLA-scan sampler at the v4 grid size
+    (16) and the reference batch (64)."""
+    from flowerdiff.diffusion.api import DiffusionSampler
+    from flowerdiff.train.pixel_ddpm import (
+        PixelDiffusionConfig,
+        create_pixel_diffusion_state,
+        make_pixel_diffusion_step,
+    )
+
+    tb = args.train_batch
+    images = jax.random.uniform(rng, (tb, 64, 64, 3))
+
+    for label, dtype in (("pixel_ddpm_step", "float32"),
+                         ("pixel_ddpm_step_bf16", "bfloat16")):
+        pcfg = PixelDiffusionConfig(compute_dtype=dtype)
+        pstate, pmodel, psched = create_pixel_diffusion_state(rng, pcfg)
+        pstep = make_pixel_diffusion_step(pmodel, psched)
+        pflops, pbytes = hlo_costs(pstep, pstate, psched, images, rng)
+        print(f"  [{label}] bytes accessed {pbytes/1e9:.1f} GB, "
+              f"arithmetic intensity {pflops/pbytes:.1f} FLOP/B", flush=True)
+        pbox = [pstate]
+
+        def prun(x, i, _box=pbox, _step=pstep, _sched=psched):
+            _box[0], loss = _step(_box[0], _sched, images,
+                                  jax.random.fold_in(rng, i))
+            return loss
+        secs = chain_time(prun, lambda: jnp.zeros(()))
+        rows.append(fmt_row(label, tb, pflops, secs)
+                    | {"img_per_sec": tb / secs})
+
+    # Sampler: the v4 sample grid is 16 images (v4:204-223, issued there
+    # as 16 sequential batch-1 full reverse passes; here it is ONE call),
+    # plus the reference batch 64.
+    pcfg = PixelDiffusionConfig()
+    pstate, pmodel, psched = create_pixel_diffusion_state(rng, pcfg)
+    pparams = {"params": pstate.params}
+    for pb in (16, 64):
+        psampler = DiffusionSampler(pmodel, pparams, psched, (64, 64, 3),
+                                    clip_x0=pcfg.clip_denoised)
+        px = jnp.zeros((pb, 64, 64, 3))
+        pt = jnp.zeros((pb,), jnp.int32)
+        peps_jit = jax.jit(lambda p, x, t: pmodel.apply(p, x, t))
+        peps_fl = hlo_flops(peps_jit, pparams, px, pt)
+        pipe_fl = psched.n_steps * peps_fl
+
+        @jax.jit
+        def ppipe(p, prev, key, _s=psampler, _sched=psched, _pb=pb):
+            key = jax.random.fold_in(
+                key, prev[0, 0, 0, 0].astype(jnp.int32) % 2)
+            return _s._sample_jit(p, _sched, key, _pb)
+
+        secs = chain_time(
+            lambda x, i, _pipe=ppipe: _pipe(
+                pparams, x, jax.random.fold_in(rng, i)),
+            lambda _pb=pb: jnp.zeros((_pb, 64, 64, 3)),
+        )
+        rows.append(fmt_row("pixel_sampler_xla", pb, pipe_fl, secs)
+                    | {"img_per_sec": pb / secs})
 
 
 if __name__ == "__main__":
