@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ddim_steps", type=int, default=None,
                    help="DDIM step count (default 50; used with "
                         "--sampler ddim)")
+    p.add_argument("--raw_latents", action="store_true",
+                   help="train/sample the latent DDPM on RAW (un-z-scored) "
+                        "latents with no x0 thresholding — the reference's "
+                        "exact semantics (v1:1247-1285). Required when "
+                        "resuming from a torch checkpoint imported with "
+                        "tools/import_torch_checkpoint.py, which was trained "
+                        "on raw latents")
     p.add_argument("--checkpoint_every", type=int, default=None,
                    help="diffusion checkpoint cadence in epochs (default: "
                         "the visualization cadence, matching the reference's "
@@ -170,6 +177,17 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                            else preset.latent.ema_decay),
             ),
         )
+    if args.raw_latents:
+        if preset.latent is None:
+            print(f"warning: --raw_latents ignored — preset {args.version} "
+                  f"has no latent-diffusion stage")
+        else:
+            preset = dataclasses.replace(
+                preset, latent=dataclasses.replace(
+                    preset.latent,
+                    normalize_latents=False, clip_denoised=None,
+                ),
+            )
     mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)
     runner = PipelineRunner(
         preset,

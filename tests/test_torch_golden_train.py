@@ -859,3 +859,151 @@ def test_latent_ddpm_train_trajectory_matches_torch(no_dropout, global_skip):
         assert np.max(np.abs(a - b)) < 5e-4, (
             f"denoiser.{name}: max|delta|={np.max(np.abs(a - b)):.2e}"
         )
+
+
+# --------------------------------------------------------------------------
+# Pixel-family (v4/v5) train golden: Adam(1e-4) + MSE eps-loss
+# (train_diffusion, v4/model_train_test.py:239-253; v5 adds the learnable
+# output residual res_ratio, v5:54,144)
+# --------------------------------------------------------------------------
+class TPixelUNet(torch.nn.Module):
+    """NCHW torch replica of models/pixel_unet.py::PixelUNet."""
+
+    def __init__(self, base=8, temb=16, learnable_residual=False):
+        super().__init__()
+        C = torch.nn.Conv2d
+        CT = torch.nn.ConvTranspose2d
+        L = torch.nn.Linear
+        self.time_fc_a = L(1, temb)
+        self.time_fc_b = L(temb, temb)
+        self.time_to_s1 = L(temb, base)
+        self.time_to_s2 = L(temb, base * 2)
+        self.time_to_s3 = L(temb, base * 4)
+        for name, cin, cout in (
+            ("conv1_a", 3, base), ("conv1_b", base, base),
+            ("conv2_a", base * 2, base * 2), ("conv2_b", base * 2, base * 2),
+            ("conv3_a", base * 4, base * 4), ("conv3_b", base * 4, base * 4),
+            ("bottleneck_a", base * 4, base * 8),
+            ("bottleneck_b", base * 8, base * 4),
+            ("conv4_a", base * 4, base * 2), ("conv4_b", base * 2, base * 2),
+            ("conv5_a", base * 2, base), ("conv5_b", base, base),
+            ("out_conv", base, 3),
+        ):
+            setattr(self, name, C(cin, cout, 3, padding=1))
+        self.down1 = C(base, base * 2, 4, stride=2, padding=1)
+        self.down2 = C(base * 2, base * 4, 4, stride=2, padding=1)
+        self.up1 = CT(base * 4, base * 2, 4, stride=2, padding=1)
+        self.up2 = CT(base * 2, base, 4, stride=2, padding=1)
+        self.learnable_residual = learnable_residual
+        if learnable_residual:
+            self.res_ratio = torch.nn.Parameter(torch.tensor(0.1))
+
+    def forward(self, x, t):
+        r = F.relu
+        temb = r(self.time_fc_a(t.float().view(-1, 1)))
+        temb = self.time_fc_b(temb)
+        x1 = r(self.conv1_b(r(self.conv1_a(x))))
+        x1 = x1 + self.time_to_s1(temb)[:, :, None, None]
+        x2 = r(self.conv2_b(r(self.conv2_a(self.down1(x1)))))
+        x2 = x2 + self.time_to_s2(temb)[:, :, None, None]
+        x3 = r(self.conv3_b(r(self.conv3_a(self.down2(x2)))))
+        x3 = x3 + self.time_to_s3(temb)[:, :, None, None]
+        h = r(self.bottleneck_b(r(self.bottleneck_a(x3))))
+        h = torch.cat([self.up1(h), x2], dim=1)
+        h = r(self.conv4_b(r(self.conv4_a(h))))
+        h = torch.cat([self.up2(h), x1], dim=1)
+        h = r(self.conv5_b(r(self.conv5_a(h))))
+        out = self.out_conv(h)
+        if self.learnable_residual:
+            out = out + self.res_ratio * x
+        return out
+
+    def load(self, p):
+        for name in ("time_fc_a", "time_fc_b", "time_to_s1", "time_to_s2",
+                     "time_to_s3"):
+            load_linear(getattr(self, name), p[name])
+        for name in ("conv1_a", "conv1_b", "conv2_a", "conv2_b", "conv3_a",
+                     "conv3_b", "bottleneck_a", "bottleneck_b", "conv4_a",
+                     "conv4_b", "conv5_a", "conv5_b", "out_conv", "down1",
+                     "down2"):
+            load_conv(getattr(self, name), p[name])
+        load_convT(self.up1, p["up1"])
+        load_convT(self.up2, p["up2"])
+        if self.learnable_residual:
+            with torch.no_grad():
+                self.res_ratio.copy_(_t(p["res_ratio"]))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("learnable_residual", [False, True])
+def test_pixel_ddpm_train_trajectory_matches_torch(learnable_residual):
+    """Pixel DDPM (v4/v5) train semantics vs torch: Adam(1e-4, 0.9, 0.999)
+    + MSE epsilon loss + uniform t (v4:239-253, v4:177-183); v5 arm covers
+    the learnable res_ratio gradient path (v5:54,144)."""
+    from flowerdiff.train.pixel_ddpm import (
+        PixelDiffusionConfig,
+        create_pixel_diffusion_state,
+        make_pixel_diffusion_step,
+    )
+
+    steps = 12
+    img = 16
+    cfg = PixelDiffusionConfig(
+        img_size=img, base_channels=8, time_emb_dim=16, n_steps=50,
+        learnable_residual=learnable_residual,
+    )
+    state, model, sched = create_pixel_diffusion_state(jax.random.key(4), cfg)
+    step_fn = make_pixel_diffusion_step(model, sched)
+
+    tm = TPixelUNet(base=8, temb=16, learnable_residual=learnable_residual)
+    tm.load(jax.device_get(state.params))
+    opt = torch.optim.Adam(tm.parameters(), lr=cfg.lr)
+
+    abar = np.cumprod(1.0 - np.asarray(jax.device_get(sched.beta), np.float64))
+
+    rng_np = np.random.default_rng(7)
+    batches = [rng_np.uniform(size=(B, img, img, 3)).astype(np.float32)
+               for _ in range(steps)]
+    base_rng = jax.random.key(13)
+
+    jax_losses, torch_losses = [], []
+    for i in range(steps):
+        rng_i = jax.random.fold_in(base_rng, i)
+        # replay the step's draws (train/pixel_ddpm.py: fold_in(rng, step);
+        # diffusion/ddpm.py::ddpm_eps_loss t/eps split)
+        k = jax.random.fold_in(rng_i, i)
+        t_key, eps_key = jax.random.split(k)
+        t_np = np.asarray(jax.random.randint(t_key, (B,), 0, cfg.n_steps))
+        eps_np = np.asarray(
+            jax.random.normal(eps_key, (B, img, img, 3), jnp.float32))
+
+        state, loss = step_fn(state, sched, jnp.asarray(batches[i]), rng_i)
+        jax_losses.append(float(loss))
+
+        # ---- torch replica (v4:244-249 loop body) ----
+        x0 = torch.tensor(batches[i].transpose(0, 3, 1, 2))
+        eps = torch.tensor(eps_np.transpose(0, 3, 1, 2))
+        ab = torch.tensor(abar[t_np], dtype=torch.float32)[:, None, None, None]
+        xt = torch.sqrt(ab) * x0 + torch.sqrt(1.0 - ab) * eps
+        eps_theta = tm(xt, torch.tensor(t_np, dtype=torch.long))
+        loss_t = F.mse_loss(eps_theta, eps)
+        opt.zero_grad()
+        loss_t.backward()
+        opt.step()
+        torch_losses.append(loss_t.item())
+
+    np.testing.assert_allclose(
+        np.asarray(jax_losses), np.asarray(torch_losses), rtol=2e-3, atol=1e-5,
+        err_msg="pixel-DDPM loss trajectory diverged from the torch replica",
+    )
+
+    tm_final = TPixelUNet(base=8, temb=16,
+                          learnable_residual=learnable_residual)
+    tm_final.load(jax.device_get(state.params))
+    for (name, a), (_, b) in zip(
+        tm.state_dict().items(), tm_final.state_dict().items()
+    ):
+        a, b = a.detach().numpy(), b.detach().numpy()
+        assert np.max(np.abs(a - b)) < 5e-4, (
+            f"pixel_unet.{name}: max|delta|={np.max(np.abs(a - b)):.2e}"
+        )
