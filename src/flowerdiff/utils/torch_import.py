@@ -54,6 +54,9 @@ __all__ = [
     "import_autoencoder",
     "import_discriminator",
     "import_latent_denoiser",
+    "export_autoencoder",
+    "export_discriminator",
+    "export_latent_denoiser",
     "load_torch_file",
 ]
 
@@ -357,3 +360,230 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
         return {name: {k: _a(v) for k, v in sub.items()}
                 for name, sub in obj.items()}
     return {k: _a(v) for k, v in obj.items()}
+
+
+# ---------------------------------------------------------------------------
+# Export: flowerdiff param trees -> reference state_dicts (the inverse map)
+# ---------------------------------------------------------------------------
+class _Writer:
+    """Inverse of _Reader: emits reference-keyed torch-layout arrays."""
+
+    def __init__(self, result: "ImportResult"):
+        self.sd: Dict[str, np.ndarray] = {}
+        self.result = result
+
+    def put(self, key: str, value: np.ndarray) -> None:
+        self.sd[key] = np.ascontiguousarray(np.asarray(value, np.float32))
+        self.result.used.append(key)
+
+    def conv(self, prefix: str, p: Mapping[str, Any]) -> None:
+        self.put(f"{prefix}.weight", _a(p["kernel"]).transpose(3, 2, 0, 1))
+        if "bias" in p:
+            self.put(f"{prefix}.bias", _a(p["bias"]))
+
+    def conv_transpose(self, prefix: str, p: Mapping[str, Any]) -> None:
+        # flax (kh,kw,Cin,Cout), spatially pre-flipped -> torch (Cin,Cout,kh,kw)
+        k = _a(p["kernel"])[::-1, ::-1].transpose(2, 3, 0, 1)
+        self.put(f"{prefix}.weight", k)
+        self.put(f"{prefix}.bias", _a(p["bias"]))
+
+    def dense(self, prefix: str, p: Mapping[str, Any]) -> None:
+        self.put(f"{prefix}.weight", _a(p["kernel"]).T)
+        if "bias" in p:
+            self.put(f"{prefix}.bias", _a(p["bias"]))
+
+    def ln2d(self, prefix: str, p: Mapping[str, Any]) -> None:
+        self.put(f"{prefix}.weight", _a(p["weight"]))
+        self.put(f"{prefix}.bias", _a(p["bias"]))
+
+    def norm(self, prefix: str, p: Mapping[str, Any]) -> None:
+        self.put(f"{prefix}.weight", _a(p["scale"]))
+        self.put(f"{prefix}.bias", _a(p["bias"]))
+
+    def res_block(self, prefix: str, p: Mapping[str, Any]) -> None:
+        self.conv(f"{prefix}.conv1", p["conv1"])
+        self.ln2d(f"{prefix}.ln1", p["ln1"])
+        self.conv(f"{prefix}.conv2", p["conv2"])
+        self.ln2d(f"{prefix}.ln2", p["ln2"])
+        # CALayer Dense gates -> 1x1 convs (bias=False, v1:58-60)
+        self.put(f"{prefix}.ca.conv_du.0.weight",
+                 _a(p["ca"]["squeeze"]["kernel"]).T[:, :, None, None])
+        self.put(f"{prefix}.ca.conv_du.2.weight",
+                 _a(p["ca"]["excite"]["kernel"]).T[:, :, None, None])
+        self.put(f"{prefix}.sa.conv.weight",
+                 _a(p["sa"]["conv"]["kernel"]).transpose(3, 2, 0, 1))
+
+    def synth(self, key: str, shape: Tuple[int, ...]) -> None:
+        """Emit a zero tensor for a parameter the reference constructs but
+        never uses in forward (dead ModuleList tails) or statistics we do
+        not track (BN running stats use fresh-init values instead)."""
+        self.sd[key] = np.zeros(shape, np.float32)
+        self.result.approximated.append(key)
+
+
+def export_autoencoder(
+    params: Mapping[str, Any],
+    class_centers: Any = None,
+    center_counts: Any = None,
+) -> ImportResult:
+    """FlowerVAE params -> SimpleAutoencoder.state_dict() (v1:305-393).
+
+    The exact inverse of :func:`import_autoencoder` — a reference user can
+    ``model.load_state_dict(result.params, strict=True)`` and run the
+    original scripts on flowerdiff-trained weights.  ``class_centers`` /
+    ``center_counts`` (train-state buffers on our side) fill the reference's
+    registered buffers; zeros if not provided.
+    """
+    res = ImportResult(params={})
+    w = _Writer(res)
+    enc, dec, clf = params["encoder"], params["decoder"], params["classifier"]
+
+    deep_c = int(_a(enc["down3_conv"]["kernel"]).shape[-1])
+    flat_in = int(_a(enc["mu_fc1"]["kernel"]).shape[0])
+    hw = int(round((flat_in // deep_c) ** 0.5))
+    assert deep_c * hw * hw == flat_in
+    perm = _flat_perm_chw_to_hwc(deep_c, hw, hw)
+    inv_perm = np.argsort(perm)
+
+    # ---- encoder ----------------------------------------------------------
+    w.conv("encoder.initial_conv.0", enc["stem_conv"])
+    w.ln2d("encoder.initial_conv.1", enc["stem_ln"])
+    for i in (1, 2, 3):
+        w.conv(f"encoder.down{i}.0", enc[f"down{i}_conv"])
+        w.ln2d(f"encoder.down{i}.1", enc[f"down{i}_ln"])
+        w.res_block(f"encoder.res{i}", enc[f"res{i}"])
+    for tname, oname in (("fc_mu", "mu"), ("fc_logvar", "logvar")):
+        fc1 = dict(enc[f"{oname}_fc1"])
+        fc1["kernel"] = _a(fc1["kernel"])[inv_perm]  # hwc rows -> chw rows
+        w.dense(f"encoder.{tname}.0", fc1)
+        w.norm(f"encoder.{tname}.1", enc[f"{oname}_ln"])
+        w.dense(f"encoder.{tname}.3", enc[f"{oname}_fc2"])
+
+    # ---- decoder ----------------------------------------------------------
+    w.dense("decoder.fc.0", dec["fc1"])
+    w.norm("decoder.fc.1", dec["fc1_ln"])
+    fc2 = dict(dec["fc2"])
+    fc2["kernel"] = _a(fc2["kernel"])[:, inv_perm]
+    fc2["bias"] = _a(fc2["bias"])[inv_perm]
+    w.dense("decoder.fc.3", fc2)
+    w.norm("decoder.fc.4",
+           {k: _a(v)[inv_perm] for k, v in dec["fc2_ln"].items()})
+    w.res_block("decoder.res3", dec["res3"])
+    for i in (3, 2, 1):
+        w.conv_transpose(f"decoder.up{i}.0", dec[f"up{i}_conv"])
+        w.norm(f"decoder.up{i}.1", dec[f"up{i}_gn"])
+        if i > 1:
+            w.res_block(f"decoder.res{i - 1}", dec[f"res{i - 1}"])
+    w.conv("decoder.final_conv.0", dec["final_conv1"])
+    w.norm("decoder.final_conv.1", dec["final_gn"])
+    w.conv("decoder.final_conv.3", dec["final_conv2"])
+
+    # ---- classifier --------------------------------------------------------
+    w.dense("classifier.0", clf["fc1"])
+    w.norm("classifier.1", clf["ln1"])
+    w.dense("classifier.4", clf["fc2"])
+    w.norm("classifier.5", clf["ln2"])
+    w.dense("classifier.8", clf["out"])
+
+    # ---- EMA center buffers (v1:322-323) ------------------------------------
+    latent = int(_a(enc["mu_fc2"]["kernel"]).shape[-1])
+    n_cls = int(_a(clf["out"]["kernel"]).shape[-1])
+    w.put("class_centers", _a(class_centers) if class_centers is not None
+          else np.zeros((n_cls, latent), np.float32))
+    w.put("center_counts", _a(center_counts) if center_counts is not None
+          else np.zeros((n_cls,), np.float32))
+    res.params = w.sd
+    return res
+
+
+def export_discriminator(params: Mapping[str, Any]) -> ImportResult:
+    """Our Discriminator64 params -> reference state_dict (v1:983-1007).
+
+    GroupNorm affines are written onto the BatchNorm affines (APPROXIMATION,
+    the inverse of import_discriminator's); BN running stats are emitted at
+    their fresh-init values (mean 0 / var 1 / 0 batches)."""
+    res = ImportResult(params={})
+    w = _Writer(res)
+    conv_idx = {0: 0, 1: 2, 2: 5, 3: 8}
+    bn_idx = {1: 3, 2: 6, 3: 9}
+    for i, si in conv_idx.items():
+        w.conv(f"model.{si}", params[f"conv{i}"])
+    for i, si in bn_idx.items():
+        w.norm(f"model.{si}", params[f"norm{i}"])
+        res.approximated.extend([f"model.{si}.weight", f"model.{si}.bias"])
+        ch = int(_a(params[f"norm{i}"]["scale"]).shape[0])
+        w.synth(f"model.{si}.running_mean", (ch,))
+        w.sd[f"model.{si}.running_var"] = np.ones((ch,), np.float32)
+        res.approximated.append(f"model.{si}.running_var")
+        w.sd[f"model.{si}.num_batches_tracked"] = np.zeros((), np.int64)
+        res.approximated.append(f"model.{si}.num_batches_tracked")
+    w.conv("model.11", params["head"])
+    res.params = w.sd
+    return res
+
+
+def export_latent_denoiser(params: Mapping[str, Any]) -> ImportResult:
+    """ConditionalLatentDenoiser params -> ConditionalUNet.state_dict()
+    (v1:501-561 / v3:769-853), inverse of :func:`import_latent_denoiser`.
+
+    The reference's dead ModuleList tails (time_projections/{cond_projections}
+    /attention_layers at index len(hidden)-1, never used in forward —
+    v1:510-516 vs 541-556) are synthesized as zeros so strict loading works;
+    they are listed in ``approximated``."""
+    res = ImportResult(params={})
+    w = _Writer(res)
+    is_v3 = "flower_embedding" in params.get("cond_emb", {})
+
+    w.dense("time_emb.lin1", params["time_emb"]["lin1"])
+    w.dense("time_emb.lin2", params["time_emb"]["lin2"])
+    w.dense("latent_proj", params["latent_proj"])
+    if is_v3:
+        ce = params["cond_emb"]
+        w.put("multi_cond_emb.flower_emb.weight",
+              _a(ce["flower_embedding"]["embedding"]))
+        w.put("multi_cond_emb.color_emb.weight",
+              _a(ce["color_embedding"]["embedding"]))
+        w.dense("multi_cond_emb.fc", ce["proj"])
+    else:
+        ce = params["cond_emb"]
+        w.put("class_emb.embedding.weight", _a(ce["embedding"]["embedding"]))
+        w.dense("class_emb.lin1", ce["lin1"])
+        w.dense("class_emb.lin2", ce["lin2"])
+
+    n_stages = len([k for k in params if k.startswith("downsample_")])
+    time_emb_dim = int(_a(params["time_emb"]["lin2"]["kernel"]).shape[-1])
+    for i in range(n_stages):
+        w.dense(f"time_projections.{i}", params[f"time_proj_{i}"])
+        if is_v3:
+            w.dense(f"cond_projections.{i}", params[f"cond_proj_{i}"])
+        w.dense(f"layers.{i}.0.0", params[f"block_fc_{i}"])
+        w.norm(f"layers.{i}.0.1", params[f"block_ln_{i}"])
+        w.norm(f"layers.{i}.1", params[f"stage_ln_{i}"])
+        w.dense(f"layers.{i}.2", params[f"downsample_{i}"])
+        w.put(f"attention_layers.{i}.in_proj_weight",
+              _a(params[f"attn_{i}"]["qkv"]["kernel"]).T)
+        w.put(f"attention_layers.{i}.in_proj_bias",
+              _a(params[f"attn_{i}"]["qkv"]["bias"]))
+        w.dense(f"attention_layers.{i}.out_proj",
+                params[f"attn_{i}"]["out"])
+
+    # dead tails at index n_stages (width = hidden_dims[-1], i.e. the
+    # downsample output of the last stage)
+    last_w = int(_a(params[f"downsample_{n_stages - 1}"]["kernel"]).shape[-1])
+    w.synth(f"time_projections.{n_stages}.weight", (last_w, time_emb_dim))
+    w.synth(f"time_projections.{n_stages}.bias", (last_w,))
+    if is_v3:
+        w.synth(f"cond_projections.{n_stages}.weight", (last_w, time_emb_dim))
+        w.synth(f"cond_projections.{n_stages}.bias", (last_w,))
+    w.synth(f"attention_layers.{n_stages}.in_proj_weight", (3 * last_w, last_w))
+    w.synth(f"attention_layers.{n_stages}.in_proj_bias", (3 * last_w,))
+    w.synth(f"attention_layers.{n_stages}.out_proj.weight", (last_w, last_w))
+    w.synth(f"attention_layers.{n_stages}.out_proj.bias", (last_w,))
+
+    w.dense("final_time_proj", params["final_time_proj"])
+    w.dense("final_class_proj", params["final_cond_proj"])
+    w.norm("final_norm", params["final_norm"])
+    w.dense("final", params["final"])
+    w.put("residual_weight", _a(params["residual_weight"]).reshape(()))
+    res.params = w.sd
+    return res

@@ -425,7 +425,8 @@ def test_import_tool_end_to_end(tmp_path):
 
     out = tmp_path / "results"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               FLOWERDIFF_PLATFORM="cpu")
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "import_torch_checkpoint.py"),
          "--preset", "v1", "--out", str(out), "--diffusion", str(pt)],
@@ -445,3 +446,169 @@ def test_import_tool_end_to_end(tmp_path):
     kern = np.asarray(tree["params"]["latent_proj"]["kernel"])
     np.testing.assert_allclose(
         kern, tm.latent_proj.weight.detach().numpy().T, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# export (flowerdiff -> reference .pt) round-trips
+# ---------------------------------------------------------------------------
+def _assert_trees_equal(a, b, path=""):
+    if isinstance(a, dict):
+        assert set(a) == set(b), f"{path}: keys {set(a)} != {set(b)}"
+        for k in a:
+            _assert_trees_equal(a[k], b[k], f"{path}/{k}")
+    else:
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=path)
+
+
+def test_autoencoder_export_roundtrip():
+    """export_autoencoder emits a strict-loadable SimpleAutoencoder
+    state_dict with exact forward parity, and import(export(p)) == p."""
+    from flowerdiff.utils.torch_import import (
+        export_autoencoder,
+        import_autoencoder,
+    )
+
+    model = FlowerVAE(latent_dim=LATENT, num_classes=NUM_CLASSES, channels=CH,
+                      head_width=HEAD, base_size=BASE)
+    rng = jax.random.PRNGKey(5)
+    params = jax.device_get(model.init(
+        {"params": rng}, jnp.zeros((1, IMG, IMG, 3)), rng,
+        method=model.init_all)["params"])
+    centers = np.random.RandomState(0).randn(
+        NUM_CLASSES, LATENT).astype(np.float32)
+    counts = np.arange(NUM_CLASSES, dtype=np.float32)
+
+    res = export_autoencoder(params, centers, counts)
+    tm = SimpleAutoencoder().eval()
+    tm.load_state_dict(
+        {k: torch.tensor(v) for k, v in res.params.items()}, strict=True)
+    np.testing.assert_array_equal(tm.class_centers.numpy(), centers)
+
+    x = np.random.RandomState(1).rand(2, IMG, IMG, 3).astype(np.float32)
+    mu, logvar = model.apply({"params": params}, jnp.asarray(x),
+                             method=model.encode_with_params)
+    recon = model.apply({"params": params}, mu, method=model.decode)
+    logits = model.apply({"params": params}, mu, method=model.classify)
+    with torch.no_grad():
+        tmu, tlogvar = tm.encoder(torch.tensor(x.transpose(0, 3, 1, 2)))
+        trecon = tm.decoder(torch.tensor(np.asarray(mu)))
+        tlogits = tm.classifier(torch.tensor(np.asarray(mu)))
+    np.testing.assert_allclose(np.asarray(mu), tmu.numpy(), **TOL)
+    np.testing.assert_allclose(
+        np.asarray(logvar), np.clip(tlogvar.numpy(), -2.0, 10.0), **TOL)
+    np.testing.assert_allclose(
+        np.asarray(recon), trecon.numpy().transpose(0, 2, 3, 1), **TOL)
+    np.testing.assert_allclose(np.asarray(logits), tlogits.numpy(), **TOL)
+
+    # exact bijection (float32 transposes/permutes only, no arithmetic)
+    back = import_autoencoder(res.params)
+    _assert_trees_equal(back.params, params)
+    np.testing.assert_array_equal(back.aux["class_centers"], centers)
+
+
+@pytest.mark.parametrize("dual", [False, True], ids=["v1_shared", "v3_dual"])
+def test_latent_denoiser_export_roundtrip(dual):
+    """export_latent_denoiser strict-loads into the reference ConditionalUNet
+    (dead ModuleList tails synthesized) with forward parity."""
+    from flowerdiff.utils.torch_import import (
+        export_latent_denoiser,
+        import_latent_denoiser,
+    )
+
+    hidden = (8, 16, 32, 16, 8)
+    t_emb = 16
+    num_colors = 5 if dual else None
+    model = ConditionalLatentDenoiser(
+        latent_dim=LATENT, hidden_dims=hidden, time_emb_dim=t_emb,
+        num_classes=NUM_CLASSES, num_colors=num_colors, dropout_rate=0.0,
+        shared_cond_proj=not dual)
+    rs = np.random.RandomState(4)
+    x = rs.randn(3, LATENT).astype(np.float32)
+    t = np.array([0, 250, 999], dtype=np.int64)
+    c = np.array([0, 3, NUM_CLASSES - 1], dtype=np.int64)
+    color = np.array([0, 2, 4], dtype=np.int64) if dual else None
+    params = jax.device_get(model.init(
+        jax.random.PRNGKey(6), jnp.asarray(x), jnp.asarray(t),
+        jnp.asarray(c), jnp.asarray(color) if dual else None)["params"])
+
+    res = export_latent_denoiser(params)
+    tm = ConditionalUNet(LATENT, list(hidden), t_emb, NUM_CLASSES,
+                         num_colors=num_colors).eval()
+    tm.load_state_dict(
+        {k: torch.tensor(v) for k, v in res.params.items()}, strict=True)
+    # dead tails synthesized, audited
+    assert any(k.startswith(f"time_projections.{len(hidden) - 1}")
+               for k in res.approximated)
+
+    args = (torch.tensor(x), torch.tensor(t.astype(np.float32)),
+            torch.tensor(c))
+    if dual:
+        args += (torch.tensor(color),)
+    with torch.no_grad():
+        t_out = tm(*args)
+    out = model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t),
+                      jnp.asarray(c), jnp.asarray(color) if dual else None)
+    np.testing.assert_allclose(np.asarray(out), t_out.numpy(), **TOL)
+
+    back = import_latent_denoiser(
+        {k: v for k, v in res.params.items()})
+    _assert_trees_equal(back.params, params)
+
+
+def test_discriminator_export_structure():
+    from flowerdiff.utils.torch_import import (
+        export_discriminator,
+        import_discriminator,
+    )
+
+    model = Discriminator64()
+    params = jax.device_get(
+        model.init(jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 3)))["params"])
+    res = export_discriminator(params)
+    tm = TorchDiscriminator64()
+    tm.load_state_dict(
+        {k: torch.tensor(v) for k, v in res.params.items()}, strict=True)
+    # GN->BN affine + fresh BN stats are approximations, audited
+    assert any("running_var" in k for k in res.approximated)
+    back = import_discriminator(res.params)
+    _assert_trees_equal(back.params, params)
+
+
+def test_export_tool_end_to_end(tmp_path):
+    """import tool -> export tool round-trips a reference-width denoiser .pt
+    bit-exactly (modulo the zero-filled dead tails)."""
+    import subprocess
+    import sys
+
+    torch.manual_seed(9)
+    tm = ConditionalUNet(256, [256, 512, 1024, 512, 256], 256, 102).eval()
+    pt = tmp_path / "conditional_diffusion_epoch_77.pt"
+    torch.save(tm.state_dict(), str(pt))
+
+    out = tmp_path / "results"
+    exp = tmp_path / "exported"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               FLOWERDIFF_PLATFORM="cpu")
+    for cmd in (
+        [sys.executable, os.path.join(repo, "tools", "import_torch_checkpoint.py"),
+         "--preset", "v1", "--out", str(out), "--diffusion", str(pt)],
+        [sys.executable, os.path.join(repo, "tools", "export_torch_checkpoint.py"),
+         "--preset", "v1", "--results_dir", str(out), "--out", str(exp)],
+    ):
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                              timeout=600)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    back = torch.load(str(exp / "conditional_diffusion_epoch_77.pt"),
+                      map_location="cpu", weights_only=True)
+    orig = tm.state_dict()
+    assert set(back) == set(orig)
+    dead = ("time_projections.4.", "attention_layers.4.")
+    for k, v in orig.items():
+        if any(k.startswith(d) for d in dead):
+            assert back[k].abs().sum() == 0  # synthesized zeros
+        else:
+            np.testing.assert_array_equal(back[k].numpy(), v.numpy(),
+                                          err_msg=k)

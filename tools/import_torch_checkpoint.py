@@ -52,6 +52,12 @@ def main() -> None:
 
     import jax
 
+    if os.environ.get("FLOWERDIFF_PLATFORM"):
+        # the axon TPU plugin pre-sets jax_platforms, overriding JAX_PLATFORMS
+        # (and its tunnel init can block for minutes); honor an explicit
+        # framework-level platform request, as cli.py does
+        jax.config.update("jax_platforms", os.environ["FLOWERDIFF_PLATFORM"])
+
     from flowerdiff.configs import get_preset
     from flowerdiff.train.checkpoints import (
         CheckpointManager,
