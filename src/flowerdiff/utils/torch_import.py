@@ -54,9 +54,11 @@ __all__ = [
     "import_autoencoder",
     "import_discriminator",
     "import_latent_denoiser",
+    "import_pixel_unet",
     "export_autoencoder",
     "export_discriminator",
     "export_latent_denoiser",
+    "export_pixel_unet",
     "load_torch_file",
 ]
 
@@ -343,6 +345,87 @@ def import_latent_denoiser(sd: Mapping[str, Any]) -> ImportResult:
         num_colors=num_colors, shared_cond_proj=not is_v3,
     )
     res.skipped.extend(res.unused_keys(sd))
+    return res
+
+
+# Reference SimpleUNet Sequential slots (v4/v5 model_train_test.py:37-103):
+# double-convs are Sequential(Conv,ReLU,Conv,ReLU) -> conv indices 0 and 2;
+# time_embed is Sequential(Linear,ReLU,Linear) -> same indices.
+_PIXEL_DOUBLE_CONVS = ("conv1", "conv2", "conv3", "conv4", "conv5")
+
+
+def import_pixel_unet(sd: Mapping[str, Any]) -> ImportResult:
+    """SimpleUNet.state_dict() (v4/model_train_test.py:37-134, saved as
+    ``diffusion_unet_pixels.pth`` at v4:252 / v5:275) -> PixelUNet params.
+
+    Fully bijective: every reference parameter is live in forward, and the
+    flax module mirrors the graph 1:1 (models/pixel_unet.py).  Auto-detects
+    the variant: a ``res_ratio`` key means v5 (``learnable_residual=True``,
+    v5:54,144); its absence means v4.  ``aux`` carries ``in_channels``,
+    ``base_channels``, ``time_emb_dim`` and ``learnable_residual`` so the
+    caller can build the matching module.
+    """
+    res = ImportResult(params={})
+    r = _Reader(sd, res)
+
+    params: Dict[str, Any] = {
+        "time_fc_a": r.dense("time_embed.0"),
+        "time_fc_b": r.dense("time_embed.2"),
+        "time_to_s1": r.dense("time_fc1"),
+        "time_to_s2": r.dense("time_fc2"),
+        "time_to_s3": r.dense("time_fc3"),
+    }
+    for name in _PIXEL_DOUBLE_CONVS:
+        params[f"{name}_a"] = r.conv(f"{name}.0")
+        params[f"{name}_b"] = r.conv(f"{name}.2")
+    for name in ("down1", "down2", "out_conv"):
+        params[name] = r.conv(name)
+    params["bottleneck_a"] = r.conv("bottleneck.0")
+    params["bottleneck_b"] = r.conv("bottleneck.2")
+    for name in ("up1", "up2"):
+        params[name] = r.conv_transpose(name)
+
+    learnable_residual = r.has("res_ratio")
+    if learnable_residual:
+        params["res_ratio"] = _a(sd["res_ratio"]).reshape(())
+        res.used.append("res_ratio")
+
+    res.params = params
+    res.aux.update(
+        in_channels=int(_a(sd["conv1.0.weight"]).shape[1]),
+        base_channels=int(_a(sd["conv1.0.weight"]).shape[0]),
+        time_emb_dim=int(_a(sd["time_embed.0.weight"]).shape[0]),
+        learnable_residual=learnable_residual,
+    )
+    res.skipped.extend(res.unused_keys(sd))
+    return res
+
+
+def export_pixel_unet(params: Mapping[str, Any]) -> ImportResult:
+    """PixelUNet params -> SimpleUNet.state_dict() (v4:37-134 / v5:38-145),
+    the exact inverse of :func:`import_pixel_unet` — loadable with
+    ``strict=True`` into the reference module and runnable by the original
+    v4/v5 scripts (which load ``diffusion_unet_pixels.pth``)."""
+    res = ImportResult(params={})
+    w = _Writer(res)
+
+    w.dense("time_embed.0", params["time_fc_a"])
+    w.dense("time_embed.2", params["time_fc_b"])
+    w.dense("time_fc1", params["time_to_s1"])
+    w.dense("time_fc2", params["time_to_s2"])
+    w.dense("time_fc3", params["time_to_s3"])
+    for name in _PIXEL_DOUBLE_CONVS:
+        w.conv(f"{name}.0", params[f"{name}_a"])
+        w.conv(f"{name}.2", params[f"{name}_b"])
+    for name in ("down1", "down2", "out_conv"):
+        w.conv(name, params[name])
+    w.conv("bottleneck.0", params["bottleneck_a"])
+    w.conv("bottleneck.2", params["bottleneck_b"])
+    for name in ("up1", "up2"):
+        w.conv_transpose(name, params[name])
+    if "res_ratio" in params:
+        w.put("res_ratio", _a(params["res_ratio"]).reshape(()))
+    res.params = w.sd
     return res
 
 

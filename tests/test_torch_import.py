@@ -612,3 +612,152 @@ def test_export_tool_end_to_end(tmp_path):
         else:
             np.testing.assert_array_equal(back[k].numpy(), v.numpy(),
                                           err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# pixel family (v4/v5 SimpleUNet, saved as diffusion_unet_pixels.pth)
+# ---------------------------------------------------------------------------
+class TorchSimpleUNet(nn.Module):  # v4:37-134 / v5:38-145
+    def __init__(self, in_channels=3, base_channels=8, time_emb_dim=16,
+                 learnable_residual=False):
+        super().__init__()
+        c = base_channels
+        self.time_embed = nn.Sequential(
+            nn.Linear(1, time_emb_dim), nn.ReLU(),
+            nn.Linear(time_emb_dim, time_emb_dim))
+        self.time_fc1 = nn.Linear(time_emb_dim, c)
+        self.time_fc2 = nn.Linear(time_emb_dim, c * 2)
+        self.time_fc3 = nn.Linear(time_emb_dim, c * 4)
+        if learnable_residual:  # v5:54
+            self.res_ratio = nn.Parameter(torch.tensor(0.1))
+
+        def dconv(ci, co):
+            return nn.Sequential(
+                nn.Conv2d(ci, co, 3, padding=1), nn.ReLU(),
+                nn.Conv2d(co, co, 3, padding=1), nn.ReLU())
+
+        self.conv1 = dconv(in_channels, c)
+        self.down1 = nn.Conv2d(c, c * 2, 4, stride=2, padding=1)
+        self.conv2 = dconv(c * 2, c * 2)
+        self.down2 = nn.Conv2d(c * 2, c * 4, 4, stride=2, padding=1)
+        self.conv3 = dconv(c * 4, c * 4)
+        self.bottleneck = nn.Sequential(
+            nn.Conv2d(c * 4, c * 8, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(c * 8, c * 4, 3, padding=1), nn.ReLU())
+        self.up1 = nn.ConvTranspose2d(c * 4, c * 2, 4, stride=2, padding=1)
+        self.conv4 = dconv(c * 4, c * 2)
+        self.up2 = nn.ConvTranspose2d(c * 2, c, 4, stride=2, padding=1)
+        self.conv5 = dconv(c * 2, c)
+        self.out_conv = nn.Conv2d(c, in_channels, 3, padding=1)
+
+    def forward(self, x, t):  # v4:104-134
+        B = x.size(0)
+        x_input = x
+        t_emb = self.time_embed(t.view(B, 1).float())
+        x1 = self.conv1(x) + self.time_fc1(t_emb).view(B, -1, 1, 1)
+        x2 = self.conv2(self.down1(x1)) + self.time_fc2(t_emb).view(B, -1, 1, 1)
+        x3 = self.conv3(self.down2(x2)) + self.time_fc3(t_emb).view(B, -1, 1, 1)
+        x4 = self.bottleneck(x3)
+        x5 = self.conv4(torch.cat([self.up1(x4), x2], dim=1))
+        x6 = self.conv5(torch.cat([self.up2(x5), x1], dim=1))
+        out = self.out_conv(x6)
+        if hasattr(self, "res_ratio"):  # v5:144
+            out = out + self.res_ratio * x_input
+        return out
+
+
+@pytest.mark.parametrize("residual", [False, True], ids=["v4", "v5_res"])
+def test_pixel_unet_import_forward_parity(residual):
+    from flowerdiff.models.pixel_unet import PixelUNet
+    from flowerdiff.utils.torch_import import import_pixel_unet
+
+    torch.manual_seed(11)
+    tm = TorchSimpleUNet(learnable_residual=residual).eval()
+    res = import_pixel_unet(tm.state_dict())
+    assert res.aux == dict(in_channels=3, base_channels=8, time_emb_dim=16,
+                           learnable_residual=residual)
+    assert res.unused_keys(tm.state_dict()) == []
+    assert res.skipped == [] and res.approximated == []  # fully bijective
+
+    model = PixelUNet(base_channels=8, time_emb_dim=16,
+                      learnable_residual=residual)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                      jnp.zeros((1,), jnp.int32))["params"]
+    assert_tree_matches_init(res.params, init)
+
+    x = np.random.RandomState(12).rand(2, 16, 16, 3).astype(np.float32)
+    t = np.array([0, 999], dtype=np.int64)
+    with torch.no_grad():
+        t_out = tm(torch.tensor(x.transpose(0, 3, 1, 2)), torch.tensor(t))
+    out = model.apply({"params": res.params}, jnp.asarray(x), jnp.asarray(t))
+    np.testing.assert_allclose(
+        np.asarray(out), t_out.numpy().transpose(0, 2, 3, 1), **TOL)
+
+
+@pytest.mark.parametrize("residual", [False, True], ids=["v4", "v5_res"])
+def test_pixel_unet_export_roundtrip(residual):
+    """export_pixel_unet strict-loads into the reference SimpleUNet with
+    forward parity, and import(export(p)) == p bit-exactly."""
+    from flowerdiff.models.pixel_unet import PixelUNet
+    from flowerdiff.utils.torch_import import (
+        export_pixel_unet,
+        import_pixel_unet,
+    )
+
+    model = PixelUNet(base_channels=8, time_emb_dim=16,
+                      learnable_residual=residual)
+    params = jax.device_get(model.init(
+        jax.random.PRNGKey(13), jnp.zeros((1, 16, 16, 3)),
+        jnp.zeros((1,), jnp.int32))["params"])
+
+    res = export_pixel_unet(params)
+    assert res.approximated == []  # nothing synthesized: every key is live
+    tm = TorchSimpleUNet(learnable_residual=residual).eval()
+    tm.load_state_dict(
+        {k: torch.tensor(v) for k, v in res.params.items()}, strict=True)
+
+    x = np.random.RandomState(14).rand(2, 16, 16, 3).astype(np.float32)
+    t = np.array([5, 500], dtype=np.int64)
+    with torch.no_grad():
+        t_out = tm(torch.tensor(x.transpose(0, 3, 1, 2)), torch.tensor(t))
+    out = model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t))
+    np.testing.assert_allclose(
+        np.asarray(out), t_out.numpy().transpose(0, 2, 3, 1), **TOL)
+
+    back = import_pixel_unet(res.params)
+    _assert_trees_equal(back.params, params)
+
+
+def test_pixel_tool_end_to_end(tmp_path):
+    """import tool -> export tool round-trips a reference-width v5
+    diffusion_unet_pixels.pth (v5:275) bit-exactly through ckpt_pixel/."""
+    import subprocess
+    import sys
+
+    torch.manual_seed(21)
+    tm = TorchSimpleUNet(base_channels=64, time_emb_dim=128,
+                         learnable_residual=True).eval()
+    pt = tmp_path / "diffusion_unet_pixels.pth"
+    torch.save(tm.state_dict(), str(pt))
+
+    out = tmp_path / "results"
+    exp = tmp_path / "exported"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", FLOWERDIFF_PLATFORM="cpu")
+    for cmd in (
+        [sys.executable, os.path.join(repo, "tools", "import_torch_checkpoint.py"),
+         "--preset", "v5", "--out", str(out), "--pixel", str(pt)],
+        [sys.executable, os.path.join(repo, "tools", "export_torch_checkpoint.py"),
+         "--preset", "v5", "--results_dir", str(out), "--out", str(exp)],
+    ):
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                              timeout=600)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    assert (out / "ckpt_pixel").is_dir()
+    back = torch.load(str(exp / "diffusion_unet_pixels.pth"),
+                      map_location="cpu", weights_only=True)
+    orig = tm.state_dict()
+    assert set(back) == set(orig)
+    for k, v in orig.items():
+        np.testing.assert_array_equal(back[k].numpy(), v.numpy(), err_msg=k)

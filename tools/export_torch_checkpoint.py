@@ -8,6 +8,7 @@ scripts read —
   flower_autoencoder.pt           {'autoencoder': sd, 'discriminator': sd}
                                   (v1/model_train_test.py:1188-1191)
   conditional_diffusion_epoch_N.pt  raw ConditionalUNet state_dict (v1:1283)
+  diffusion_unet_pixels.pth         raw SimpleUNet state_dict (v4:252/v5:275)
 
 so `SimpleAutoencoder().load_state_dict(...)` / the reference's
 filename-epoch resume (v1:1352-1363) run on flowerdiff-trained weights.
@@ -32,10 +33,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--preset", default="v1", choices=["v1", "v2", "v3"])
+    ap.add_argument("--preset", default="v1",
+                    choices=["v1", "v2", "v3", "v4", "v5"])
     ap.add_argument("--results_dir", required=True,
-                    help="flowerdiff results dir holding ckpt_vae/ and/or "
-                         "ckpt_diffusion/")
+                    help="flowerdiff results dir holding ckpt_vae/, "
+                         "ckpt_diffusion/ and/or ckpt_pixel/")
     ap.add_argument("--out", required=True, help="directory for the .pt files")
     ap.add_argument("--step", type=int, default=None,
                     help="checkpoint step/epoch to export (default: latest)")
@@ -63,6 +65,7 @@ def main() -> None:
         export_autoencoder,
         export_discriminator,
         export_latent_denoiser,
+        export_pixel_unet,
     )
 
     preset = get_preset(args.preset)
@@ -119,9 +122,29 @@ def main() -> None:
         print(f"  -> {out}")
         did = True
 
+    pixel_dir = os.path.join(args.results_dir, "ckpt_pixel")
+    if os.path.isdir(pixel_dir):
+        from flowerdiff.train.pixel_ddpm import create_pixel_diffusion_state
+
+        if preset.pixel is None:
+            raise SystemExit(
+                f"preset {args.preset} has no pixel pipeline but "
+                f"{pixel_dir} exists — use --preset v4 or v5")
+        st, _, _ = create_pixel_diffusion_state(rng, preset.pixel)
+        mgr = CheckpointManager(pixel_dir)
+        step = args.step or mgr.latest_step()
+        tree = mgr.restore(step, like=state_to_tree(st))
+        print(f"Exporting pixel UNet from {pixel_dir} @ step {step}")
+        res = export_pixel_unet(jax.device_get(tree["params"]))
+        report("pixel_unet", res)
+        out = os.path.join(args.out, "diffusion_unet_pixels.pth")
+        torch.save(to_torch_sd(res.params), out)
+        print(f"  -> {out}")
+        did = True
+
     if not did:
-        raise SystemExit(f"no ckpt_vae/ or ckpt_diffusion/ under "
-                         f"{args.results_dir}")
+        raise SystemExit(f"no ckpt_vae/, ckpt_diffusion/ or ckpt_pixel/ "
+                         f"under {args.results_dir}")
     print("\nDone. Load in the reference with torch.load(..., "
           "map_location=...) as usual.")
 

@@ -6,6 +6,7 @@ A reference user has .pt files from hours of GPU training:
                                    (v1/model_train_test.py:1188-1191) or a raw
                                    autoencoder state_dict (v1:1326)
   conditional_diffusion_final.pt   raw ConditionalUNet state_dict (v1:1283)
+  diffusion_unet_pixels.pth        raw SimpleUNet state_dict (v4:252/v5:275)
 
 This tool maps them (flowerdiff.utils.torch_import — forward-parity pinned by
 tests/test_torch_import.py) into this framework's Orbax checkpoint layout, so
@@ -34,12 +35,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--preset", default="v1", choices=["v1", "v2", "v3"],
+    ap.add_argument("--preset", default="v1",
+                    choices=["v1", "v2", "v3", "v4", "v5"],
                     help="which reference variant the checkpoints came from")
     ap.add_argument("--out", required=True, help="results_dir to write into")
     ap.add_argument("--autoencoder", default=None, help="flower_autoencoder.pt")
     ap.add_argument("--diffusion", default=None,
                     help="conditional_diffusion_*.pt")
+    ap.add_argument("--pixel", default=None,
+                    help="diffusion_unet_pixels.pth (v4/v5 SimpleUNet)")
     ap.add_argument("--vae_epoch", type=int, default=None,
                     help="epoch to stamp the VAE checkpoint with "
                          "(default: the preset's full schedule -> 'trained')")
@@ -47,8 +51,9 @@ def main() -> None:
                     help="epoch stamp for the diffusion checkpoint (default: "
                          "parsed from the filename, else the full schedule)")
     args = ap.parse_args()
-    if not args.autoencoder and not args.diffusion:
-        ap.error("nothing to do: pass --autoencoder and/or --diffusion")
+    if not args.autoencoder and not args.diffusion and not args.pixel:
+        ap.error("nothing to do: pass --autoencoder, --diffusion and/or "
+                 "--pixel")
 
     import jax
 
@@ -69,6 +74,7 @@ def main() -> None:
         import_autoencoder,
         import_discriminator,
         import_latent_denoiser,
+        import_pixel_unet,
         load_torch_file,
     )
 
@@ -154,9 +160,40 @@ def main() -> None:
         mgr.save(epoch, state_to_tree(st))
         print(f"  -> {mgr.directory} @ epoch {epoch}")
 
+    if args.pixel:
+        from flowerdiff.train.pixel_ddpm import create_pixel_diffusion_state
+
+        if preset.pixel is None:
+            raise SystemExit(
+                f"preset {args.preset} has no pixel pipeline — use v4/v5 for "
+                f"diffusion_unet_pixels.pth")
+        print(f"Importing pixel UNet from {args.pixel}")
+        res = import_pixel_unet(load_torch_file(args.pixel))
+        report("pixel_unet", res)
+        pcfg = preset.pixel
+        detected = (res.aux["base_channels"], res.aux["time_emb_dim"],
+                    res.aux["learnable_residual"])
+        expected = (pcfg.base_channels, pcfg.time_emb_dim,
+                    pcfg.learnable_residual)
+        if detected != expected:
+            raise SystemExit(
+                f"checkpoint geometry {detected} does not match preset "
+                f"{args.preset} {expected} — pick the matching --preset "
+                f"(v5 has the learnable residual, v4 does not)")
+        st, _, _ = create_pixel_diffusion_state(rng, pcfg)
+        st = st.replace(params=jax.tree.map(
+            lambda a: jax.numpy.asarray(a), res.params))
+        epoch = (args.diff_epoch
+                 or parse_epoch_from_filename(args.pixel)
+                 or preset.pixel_epochs)
+        mgr = CheckpointManager(os.path.join(args.out, "ckpt_pixel"))
+        mgr.save(epoch, state_to_tree(st))
+        print(f"  -> {mgr.directory} @ epoch {epoch}")
+
     print("\nDone. Resume with:")
-    print(f"  python main.py --version {args.preset} --results_dir {args.out} "
-          f"--raw_latents")
+    flags = "" if args.preset in ("v4", "v5") else " --raw_latents"
+    print(f"  python main.py --version {args.preset} --results_dir {args.out}"
+          f"{flags}")
 
 
 if __name__ == "__main__":
