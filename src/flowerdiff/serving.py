@@ -177,3 +177,66 @@ class SamplingService:
             if colors is not None else None
         )
         return self._chunked(classes, color_arr, rng, decode=True)
+
+
+class PixelSamplingService:
+    """Deployment API for the unconditional pixel family (v4/v5).
+
+    Same bucket-ladder design as :class:`SamplingService` — every sampling
+    program specializes on the static batch size, so requests pad up to a
+    small ladder of pre-compilable buckets and oversize requests chunk into
+    bucket-sized sub-batches.  The reference has no serving story for its
+    pixel DDPM (v4/model_train_test.py:272-286 samples inline after
+    training); this wraps the same 1000-step reverse process (or DDIM) as
+    compiled scan programs.
+
+    Pixel buckets default smaller than latent ones: one 64x64x3 sample is
+    ~2,000x the state of a 256-d latent, so HBM and compile time bound the
+    useful ladder.
+    """
+
+    def __init__(
+        self,
+        model,
+        params: dict,
+        sched: Optional[DiffusionSchedule] = None,
+        buckets: Tuple[int, ...] = (4, 16, 64),
+        clip_x0: Optional[float] = 1.0,
+        sampler_kind: str = "ancestral",
+        ddim_steps: int = 50,
+        img_size: int = 64,
+    ):
+        self.sched = sched or linear_schedule()
+        self.buckets = tuple(sorted(buckets))
+        assert self.buckets, "need at least one bucket size"
+        self.sampler = DiffusionSampler(
+            model, params, self.sched, (img_size, img_size, 3),
+            clip_x0=clip_x0,
+        )
+        if sampler_kind == "ddim":
+            from flowerdiff.diffusion.api import DDIMSampler
+
+            self.sampler = DDIMSampler(self.sampler, num_steps=ddim_steps)
+        elif sampler_kind != "ancestral":
+            raise ValueError(f"unknown sampler_kind {sampler_kind!r}")
+
+    bucket_size = SamplingService.bucket_size
+    request_plan = SamplingService.request_plan
+
+    def warmup(self, rng: jax.Array,
+               buckets: Optional[Sequence[int]] = None) -> None:
+        for b in buckets or self.buckets:
+            self.sample_images(b, rng).block_until_ready()
+
+    def sample_images(self, n: int, rng: jax.Array) -> jax.Array:
+        """n images of shape (n, img_size, img_size, 3) in [0, 1] (clipped
+        like the reference's display path, v4:282)."""
+        outs = []
+        start = 0
+        for i, b in enumerate(self.request_plan(n)):
+            take = min(b, n - start)
+            x = self.sampler.sample(jax.random.fold_in(rng, i), b)
+            outs.append(x[:take])
+            start += take
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        return jnp.clip(out, 0.0, 1.0)

@@ -174,3 +174,45 @@ def test_ddim_serving_path():
     imgs = service.sample_classes([1, 2], n_per_class=1, rng=jax.random.key(1))
     assert imgs.shape == (2, 64, 64, 3)
     assert seen == [(4, 4)]  # bucketed batch through the DDIM path
+
+
+# ---------------------------------------------------------------------------
+# pixel family (v4/v5) serving
+# ---------------------------------------------------------------------------
+def _tiny_pixel_service(**kw):
+    from flowerdiff.models.pixel_unet import PixelUNet
+    from flowerdiff.serving import PixelSamplingService
+
+    model = PixelUNet(base_channels=8, time_emb_dim=16)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.zeros((1,), jnp.int32))
+    kw.setdefault("sched", linear_schedule(8))
+    kw.setdefault("buckets", (2, 4))
+    kw.setdefault("img_size", 16)
+    return PixelSamplingService(model, params, **kw)
+
+
+def test_pixel_service_end_to_end():
+    service = _tiny_pixel_service()
+    imgs = service.sample_images(3, jax.random.key(1))
+    assert imgs.shape == (3, 16, 16, 3)
+    assert float(imgs.min()) >= 0.0 and float(imgs.max()) <= 1.0
+    # oversize request chunks through the ladder
+    assert service.request_plan(5) == [4, 2]
+    imgs = service.sample_images(5, jax.random.key(2))
+    assert imgs.shape == (5, 16, 16, 3)
+
+
+def test_pixel_service_ddim():
+    service = _tiny_pixel_service(sampler_kind="ddim", ddim_steps=4)
+    imgs = service.sample_images(2, jax.random.key(3))
+    assert imgs.shape == (2, 16, 16, 3)
+    assert bool(jnp.isfinite(imgs).all())
+
+
+def test_pixel_service_determinism_across_chunking():
+    """Chunk i folds the request rng, so a given (rng, n) is deterministic."""
+    service = _tiny_pixel_service()
+    a = service.sample_images(5, jax.random.key(7))
+    b = service.sample_images(5, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
