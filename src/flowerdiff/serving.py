@@ -153,15 +153,29 @@ class SamplingService:
             start += take
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
+    def sample(
+        self,
+        classes: jax.Array,
+        rng: jax.Array,
+        colors: Optional[jax.Array] = None,
+        decode: bool = True,
+    ) -> jax.Array:
+        """Per-element conditioned request: classes (and optionally colors)
+        give the condition for EACH output row. Decoded (N, 64, 64, 3)
+        images, or raw latents with decode=False. This is the entry the
+        HTTP front-end's coalescer uses (serving_http.py) — arbitrary
+        per-row conditions, one bucketed device dispatch."""
+        classes = jnp.asarray(classes, jnp.int32)
+        colors = jnp.asarray(colors, jnp.int32) if colors is not None else None
+        return self._chunked(classes, colors, rng, decode=decode)
+
     def sample_latents(
         self,
         classes: jax.Array,
         rng: jax.Array,
         colors: Optional[jax.Array] = None,
     ) -> jax.Array:
-        classes = jnp.asarray(classes, jnp.int32)
-        colors = jnp.asarray(colors, jnp.int32) if colors is not None else None
-        return self._chunked(classes, colors, rng, decode=False)
+        return self.sample(classes, rng, colors, decode=False)
 
     def sample_classes(
         self,

@@ -1,0 +1,347 @@
+"""HTTP serving front-end with request coalescing over SamplingService.
+
+The reference has no serving story at all — each v*/model_train_test.py
+samples inline after training (e.g. /root/reference/v1/model_train_test.py:
+856-882). serving.py provides the in-process deployment API (bucketed
+compiled programs over the fused sampler); this module turns it into a
+network service using ONLY the standard library (no new dependencies):
+
+- :class:`CoalescingBatcher` — concurrent requests queue up and are merged
+  into ONE device batch per dispatch window, so a burst of small requests
+  rides one compiled bucket program instead of many. The TPU sees large
+  batches — where the fused sampler is compute-bound at 85-105% MFU
+  (BASELINE.md roofline) — even when clients send batch-1 requests. The
+  merged batch still flows through SamplingService's bucket ladder, so no
+  request mix ever triggers a fresh XLA/Pallas compile.
+- :func:`serve` / :class:`FlowerHTTPServer` — a ThreadingHTTPServer:
+
+    GET  /healthz     -> {"ok": true, "backend": ..., "buckets": [...]}
+    GET  /stats       -> request/dispatch/coalescing counters
+    POST /v1/sample   -> JSON body:
+        {"classes": [ids...],        # required, one per sample (before
+                                     #  n_per_class expansion)
+         "n_per_class": 1,           # optional repeat factor
+         "colors": [ids...],         # optional (v3 dual conditioning)
+         "format": "png"|"npy"|"json",   # default png (grid image)
+         "latents": false}           # true -> raw latents (npy/json only)
+
+Responses: image/png (a sample grid), application/octet-stream (a .npy
+payload, np.load-able), or application/json (nested lists). Errors are
+JSON with HTTP 400/413/500/503.
+
+Determinism note: the batch RNG is folded from a server-lifetime dispatch
+counter, so results depend on request arrival order — standard for a
+shared sampling service. For reproducible output use the in-process
+SamplingService with an explicit key.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["CoalescingBatcher", "FlowerHTTPServer", "serve"]
+
+
+@dataclass
+class _Pending:
+    """One enqueued request: per-row classes/colors plus a completion event."""
+
+    classes: np.ndarray
+    colors: Optional[np.ndarray]
+    decode: bool
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[BaseException] = None
+
+    @property
+    def kind(self):
+        """Requests merge only when they run the same program family."""
+        return (self.colors is not None, self.decode)
+
+
+class CoalescingBatcher:
+    """Merges concurrent sampling requests into shared device dispatches.
+
+    Requests submitted within one dispatch window (`max_wait_ms`, counted
+    from the first queued request) are concatenated per `kind` (with/without
+    colors x decode/latents) and run as ONE SamplingService call. Each
+    caller gets back exactly its rows.
+
+    `autostart=False` runs no worker thread; call `drain_once()` manually —
+    used by tests to make coalescing assertions deterministic.
+    """
+
+    def __init__(self, service, rng, max_wait_ms: float = 5.0,
+                 max_batch: int = 512, autostart: bool = True):
+        import jax
+
+        self.service = service
+        self._rng = rng
+        self._fold_in = jax.random.fold_in
+        self.max_wait_ms = max_wait_ms
+        self.max_batch = max_batch
+        self._lock = threading.Condition()
+        self._queue: list[_Pending] = []
+        self._dispatch_counter = 0
+        self._stopped = False
+        self.stats = {
+            "requests": 0,
+            "images": 0,
+            "dispatches": 0,
+            "max_coalesced": 0,
+            "errors": 0,
+        }
+        self._worker = None
+        if autostart:
+            self._worker = threading.Thread(target=self._run, daemon=True,
+                                            name="flowerdiff-batcher")
+            self._worker.start()
+
+    # -- client side ------------------------------------------------------
+    def submit(self, classes, colors=None, decode=True,
+               timeout: float = 600.0) -> np.ndarray:
+        """Block until the request's rows are sampled; returns (N, ...)."""
+        item = _Pending(
+            classes=np.asarray(classes, np.int32).reshape(-1),
+            colors=(np.asarray(colors, np.int32).reshape(-1)
+                    if colors is not None else None),
+            decode=decode,
+        )
+        if item.colors is not None and item.colors.shape != item.classes.shape:
+            raise ValueError("colors must match classes length")
+        with self._lock:
+            if self._stopped:
+                raise RuntimeError("batcher is stopped")
+            self._queue.append(item)
+            self.stats["requests"] += 1
+            self.stats["images"] += int(item.classes.shape[0])
+            self._lock.notify_all()
+        if not item.done.wait(timeout):
+            raise TimeoutError("sampling request timed out")
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def stop(self):
+        with self._lock:
+            self._stopped = True
+            self._lock.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout=5.0)
+
+    # -- worker side ------------------------------------------------------
+    def _take_window(self) -> list[_Pending]:
+        """Wait for at least one request, then hold the window open for
+        max_wait_ms (or until max_batch rows queue up)."""
+        with self._lock:
+            while not self._queue and not self._stopped:
+                self._lock.wait(timeout=0.1)
+            if not self._queue:
+                return []
+            deadline = time.monotonic() + self.max_wait_ms / 1e3
+            while (sum(p.classes.shape[0] for p in self._queue) < self.max_batch
+                   and not self._stopped):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._lock.wait(timeout=remaining)
+            batch, self._queue = self._queue, []
+            return batch
+
+    def drain_once(self):
+        """Process everything currently queued (test / manual mode)."""
+        with self._lock:
+            batch, self._queue = self._queue, []
+        self._process(batch)
+
+    def _run(self):
+        while True:
+            batch = self._take_window()
+            if not batch:
+                with self._lock:
+                    if self._stopped and not self._queue:
+                        return
+                continue
+            self._process(batch)
+
+    def _process(self, batch: list[_Pending]):
+        groups: dict[tuple, list[_Pending]] = {}
+        for item in batch:
+            groups.setdefault(item.kind, []).append(item)
+        for (_has_colors, decode), items in groups.items():
+            classes = np.concatenate([p.classes for p in items])
+            colors = (np.concatenate([p.colors for p in items])
+                      if _has_colors else None)
+            with self._lock:
+                key = self._fold_in(self._rng, self._dispatch_counter)
+                self._dispatch_counter += 1
+                self.stats["dispatches"] += 1
+                self.stats["max_coalesced"] = max(self.stats["max_coalesced"],
+                                                  len(items))
+            try:
+                out = np.asarray(
+                    self.service.sample(classes, key, colors, decode=decode))
+            except BaseException as exc:  # surface device errors per caller
+                with self._lock:
+                    self.stats["errors"] += 1
+                for p in items:
+                    p.error = exc
+                    p.done.set()
+                continue
+            start = 0
+            for p in items:
+                n = p.classes.shape[0]
+                p.result = out[start:start + n]
+                start += n
+                p.done.set()
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------------
+def _png_grid(images: np.ndarray) -> bytes:
+    """(N, H, W, 3) floats in [0,1] -> one grid PNG (row-major, ~square)."""
+    from PIL import Image
+
+    n, h, w, c = images.shape
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    grid = np.zeros((rows * h, cols * w, c), np.uint8)
+    arr = (np.clip(images, 0.0, 1.0) * 255).astype(np.uint8)
+    for i in range(n):
+        r, cc = divmod(i, cols)
+        grid[r * h:(r + 1) * h, cc * w:(cc + 1) * w] = arr[i]
+    buf = io.BytesIO()
+    Image.fromarray(grid).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # quiet by default; the server object can flip this on
+    def log_message(self, fmt, *args):
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    def _reply(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, code: int, obj):
+        self._reply(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            import jax
+
+            svc = self.server.batcher.service
+            self._json(200, {
+                "ok": True,
+                "backend": jax.default_backend(),
+                "buckets": list(svc.buckets),
+                "num_classes": svc.model.num_classes,
+                "num_colors": svc.model.num_colors,
+            })
+        elif self.path == "/stats":
+            self._json(200, dict(self.server.batcher.stats))
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        if self.path != "/v1/sample":
+            return self._json(404, {"error": "not found"})
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            return self._json(400, {"error": "invalid JSON body"})
+        try:
+            classes, colors, decode, fmt = self._validate(req)
+        except ValueError as exc:
+            code = 413 if "exceeds" in str(exc) else 400
+            return self._json(code, {"error": str(exc)})
+        try:
+            out = self.server.batcher.submit(classes, colors, decode=decode)
+        except RuntimeError as exc:
+            return self._json(503, {"error": str(exc)})
+        except BaseException as exc:  # device-side failure
+            return self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+        if fmt == "png":
+            self._reply(200, _png_grid(out), "image/png")
+        elif fmt == "npy":
+            self._reply(200, _npy_bytes(out), "application/octet-stream")
+        else:
+            self._json(200, {"shape": list(out.shape),
+                             "data": out.tolist()})
+
+    def _validate(self, req):
+        svc = self.server.batcher.service
+        classes = req.get("classes")
+        if not isinstance(classes, list) or not classes or not all(
+                isinstance(c, int) for c in classes):
+            raise ValueError("'classes' must be a non-empty list of ints")
+        n_per = req.get("n_per_class", 1)
+        if not isinstance(n_per, int) or n_per < 1:
+            raise ValueError("'n_per_class' must be a positive int")
+        num_classes = svc.model.num_classes
+        if any(not 0 <= c < num_classes for c in classes):
+            raise ValueError(f"class ids must be in [0, {num_classes})")
+        total = len(classes) * n_per
+        limit = self.server.batcher.max_batch
+        if total > limit:
+            raise ValueError(f"request of {total} images exceeds the "
+                             f"{limit}-image limit; split the request")
+        colors = req.get("colors")
+        if colors is not None:
+            if svc.model.num_colors is None:
+                raise ValueError("this model has no color conditioning")
+            if (not isinstance(colors, list)
+                    or len(colors) != len(classes)
+                    or not all(isinstance(c, int) for c in colors)):
+                raise ValueError("'colors' must be an int list matching "
+                                 "'classes' length")
+            if any(not 0 <= c < svc.model.num_colors for c in colors):
+                raise ValueError(
+                    f"color ids must be in [0, {svc.model.num_colors})")
+            colors = np.repeat(np.asarray(colors, np.int32), n_per)
+        decode = not bool(req.get("latents", False))
+        fmt = req.get("format", "png")
+        if fmt not in ("png", "npy", "json"):
+            raise ValueError("'format' must be png, npy, or json")
+        if not decode and fmt == "png":
+            raise ValueError("latents=true requires format npy or json")
+        return np.repeat(np.asarray(classes, np.int32), n_per), colors, \
+            decode, fmt
+
+
+class FlowerHTTPServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, batcher: CoalescingBatcher, verbose=False):
+        super().__init__(addr, _Handler)
+        self.batcher = batcher
+        self.verbose = verbose
+
+
+def serve(service, rng, host: str = "0.0.0.0", port: int = 8000,
+          max_wait_ms: float = 5.0, max_batch: int = 512,
+          verbose: bool = False) -> FlowerHTTPServer:
+    """Build the batcher + server (does NOT block; call serve_forever())."""
+    batcher = CoalescingBatcher(service, rng, max_wait_ms=max_wait_ms,
+                                max_batch=max_batch)
+    return FlowerHTTPServer((host, port), batcher, verbose=verbose)

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Serve a trained flowerdiff run over HTTP.
+
+Loads the latest diffusion checkpoint from a finished run's results dir
+(train-if-missing restore, same as the eval tools), builds the bucketed
+SamplingService on the fastest available path (fused Pallas on TPU), and
+exposes it via the coalescing HTTP front-end (serving_http.py).
+
+Usage:
+  python tools/serve.py --results_dir artifacts/demo_v1_cfg_1020 \
+      --synthetic_size 1020 --port 8000 [--sampler ddim --ddim_steps 50] \
+      [--guidance_scale 7.0] [--buckets 16,64,256]
+
+Then:
+  curl -s localhost:8000/healthz
+  curl -s -X POST localhost:8000/v1/sample \
+      -d '{"classes": [4, 53], "n_per_class": 5}' > grid.png
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "src"))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results_dir", required=True)
+    ap.add_argument("--version", default="v1")
+    ap.add_argument("--synthetic_size", type=int, default=1020)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--cond_dropout", type=float, default=None,
+                    help="must match the training run (affects param tree)")
+    ap.add_argument("--ema_decay", type=float, default=None,
+                    help="must match the training run; sampling uses EMA")
+    ap.add_argument("--guidance_scale", type=float, default=None)
+    ap.add_argument("--sampler", default="ancestral",
+                    choices=["ancestral", "ddim"])
+    ap.add_argument("--ddim_steps", type=int, default=50)
+    ap.add_argument("--buckets", default="8,16,32,64,128,256")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--max_batch", type=int, default=512)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    from flowerdiff.configs import get_preset, tiny_preset
+    from flowerdiff.runner import PipelineRunner
+    from flowerdiff.serving import SamplingService
+    from flowerdiff.serving_http import serve
+    from flowerdiff.train.checkpoints import CheckpointManager
+
+    preset = get_preset(args.version)
+    if args.tiny:
+        preset = tiny_preset(preset)
+    lat = preset.latent
+    if args.cond_dropout is not None or args.ema_decay is not None:
+        lat = dataclasses.replace(
+            lat,
+            cond_dropout=(args.cond_dropout if args.cond_dropout is not None
+                          else lat.cond_dropout),
+            ema_decay=(args.ema_decay if args.ema_decay is not None
+                       else lat.ema_decay),
+        )
+    if args.guidance_scale is not None:
+        lat = dataclasses.replace(lat, guidance_scale=args.guidance_scale)
+    preset = dataclasses.replace(preset, latent=lat)
+
+    runner = PipelineRunner(
+        preset, results_dir=args.results_dir, dataset="synthetic",
+        seed=args.seed, synthetic_size=args.synthetic_size,
+    )
+    saved = CheckpointManager(
+        os.path.join(args.results_dir, "ckpt_diffusion")).latest_step()
+    assert saved, f"no diffusion checkpoint under {args.results_dir}"
+    _, diff = runner.run_latent(total_epochs=saved, final_sweep=False,
+                                cadence_viz=False)
+    vae, vae_params = runner._trained_vae
+
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    service = SamplingService(
+        diff.model, {"params": diff.sampling_params}, vae, vae_params,
+        sched=diff.sched, buckets=buckets, latent_stats=diff.latent_stats,
+        clip_x0=diff.cfg.clip_denoised, sampler_kind=args.sampler,
+        ddim_steps=args.ddim_steps,
+    )
+    print(f"warming {len(buckets)} buckets on {jax.default_backend()}...",
+          flush=True)
+    service.warmup(jax.random.key(args.seed + 99))
+
+    server = serve(service, jax.random.key(args.seed), host=args.host,
+                   port=args.port, max_wait_ms=args.max_wait_ms,
+                   max_batch=args.max_batch, verbose=True)
+    print(f"serving ckpt epoch {saved} at http://{args.host}:{args.port} "
+          f"(sampler={args.sampler}, buckets={buckets})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+
+
+if __name__ == "__main__":
+    main()
