@@ -120,22 +120,43 @@ class SamplingService:
         with_colors: bool = False,
     ) -> None:
         """Pre-compile the sampling + decode programs for the given buckets
-        (default: all) so no live request pays a compile."""
-        for b in buckets or self.buckets:
-            classes = jnp.zeros((b,), jnp.int32)
-            colors = jnp.zeros((b,), jnp.int32) if with_colors else None
-            self._decode(self.sample_latents(classes, rng, colors)).block_until_ready()
+        (default: all) so no live request pays a compile. Warms through the
+        exact live path — host np.int32 conditions in, np images out — so
+        the host->device transfer programs are compiled too (warming with
+        device arrays leaves a ~0.7 s first-request transfer-path compile,
+        measured in artifacts/serving_smoke/bench_serving_r3.json)."""
+        import numpy as np
 
-    def _pad(self, arr: jax.Array, target: int) -> jax.Array:
+        for b in buckets or self.buckets:
+            classes = np.zeros((b,), np.int32)
+            colors = np.zeros((b,), np.int32) if with_colors else None
+            self.sample(classes, rng, colors, decode=True)
+
+    @staticmethod
+    def _pad(arr, target: int):
         n = arr.shape[0]
         if n == target:
             return arr
-        return jnp.concatenate([arr, jnp.zeros((target - n,), arr.dtype)])
+        import numpy as np
 
-    def _chunked(self, classes: jax.Array, colors, rng: jax.Array, decode: bool):
+        return np.concatenate([arr, np.zeros((target - n,), arr.dtype)])
+
+    def _chunked(self, classes, colors, rng: jax.Array, decode: bool):
         """Run the request as bucket-sized chunks (request_plan); each chunk
         folds the request rng with its index so results are deterministic
-        for a given (rng, request)."""
+        for a given (rng, request).
+
+        All request-shaping (slice / pad / tail concat) happens host-side in
+        NumPy: only bucket-shaped programs ever reach the device, so
+        `warmup()` really does pre-pay every compile. jnp ops here would
+        silently specialize on each new request size — measured ~1.3 s of
+        tiny-op XLA compiles per novel size on the first live request
+        (artifacts/serving_smoke/bench_serving_r3.json history)."""
+        import numpy as np
+
+        classes = np.asarray(classes, np.int32).reshape(-1)
+        if colors is not None:
+            colors = np.asarray(colors, np.int32).reshape(-1)
         n = classes.shape[0]
         outs = []
         start = 0
@@ -147,11 +168,11 @@ class SamplingService:
                 cond = (cls_chunk, self._pad(colors[start:start + take], b))
             latents = self.sampler.sample(jax.random.fold_in(rng, i), b, *cond)
             # Pad through sampling AND decode so both programs see bucket
-            # shapes; slice each chunk back to its real size.
+            # shapes; slice each chunk back to its real size on the host.
             out = self._decode(latents) if decode else latents
-            outs.append(out[:take])
+            outs.append(np.asarray(out)[:take])
             start += take
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        return outs[0] if len(outs) == 1 else np.concatenate(outs)
 
     def sample(
         self,
@@ -162,11 +183,10 @@ class SamplingService:
     ) -> jax.Array:
         """Per-element conditioned request: classes (and optionally colors)
         give the condition for EACH output row. Decoded (N, 64, 64, 3)
-        images, or raw latents with decode=False. This is the entry the
-        HTTP front-end's coalescer uses (serving_http.py) — arbitrary
-        per-row conditions, one bucketed device dispatch."""
-        classes = jnp.asarray(classes, jnp.int32)
-        colors = jnp.asarray(colors, jnp.int32) if colors is not None else None
+        images, or raw latents with decode=False (host np.ndarray either
+        way). This is the entry the HTTP front-end's coalescer uses
+        (serving_http.py) — arbitrary per-row conditions, one bucketed
+        device dispatch."""
         return self._chunked(classes, colors, rng, decode=decode)
 
     def sample_latents(
@@ -185,9 +205,11 @@ class SamplingService:
         colors: Optional[Sequence[int]] = None,
     ) -> jax.Array:
         """Decoded (N, 64, 64, 3) images, one row block per requested class."""
-        classes = jnp.repeat(jnp.asarray(class_ids, jnp.int32), n_per_class)
+        import numpy as np
+
+        classes = np.repeat(np.asarray(class_ids, np.int32), n_per_class)
         color_arr = (
-            jnp.repeat(jnp.asarray(colors, jnp.int32), n_per_class)
+            np.repeat(np.asarray(colors, np.int32), n_per_class)
             if colors is not None else None
         )
         return self._chunked(classes, color_arr, rng, decode=True)
@@ -240,17 +262,87 @@ class PixelSamplingService:
     def warmup(self, rng: jax.Array,
                buckets: Optional[Sequence[int]] = None) -> None:
         for b in buckets or self.buckets:
-            self.sample_images(b, rng).block_until_ready()
+            self.sample_images(b, rng)
 
-    def sample_images(self, n: int, rng: jax.Array) -> jax.Array:
+    def sample_images(self, n: int, rng: jax.Array):
         """n images of shape (n, img_size, img_size, 3) in [0, 1] (clipped
-        like the reference's display path, v4:282)."""
+        like the reference's display path, v4:282), as a host np.ndarray.
+        Tail slicing/concat stay host-side so only bucket-shaped programs
+        reach the device (same rationale as SamplingService._chunked)."""
+        import numpy as np
+
         outs = []
         start = 0
         for i, b in enumerate(self.request_plan(n)):
             take = min(b, n - start)
             x = self.sampler.sample(jax.random.fold_in(rng, i), b)
-            outs.append(x[:take])
+            outs.append(np.asarray(x)[:take])
             start += take
-        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-        return jnp.clip(out, 0.0, 1.0)
+        out = outs[0] if len(outs) == 1 else np.concatenate(outs)
+        return np.clip(out, 0.0, 1.0)
+
+
+def service_from_run(
+    results_dir: str,
+    version: str = "v1",
+    synthetic_size: int = 1020,
+    seed: int = 42,
+    tiny: bool = False,
+    cond_dropout: Optional[float] = None,
+    ema_decay: Optional[float] = None,
+    guidance_scale: Optional[float] = None,
+    sampler_kind: str = "ancestral",
+    ddim_steps: int = 50,
+    buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+) -> "SamplingService":
+    """Build a :class:`SamplingService` from a finished run's results dir.
+
+    Train-if-missing restore through the runner (same path the eval tools
+    use): loads the latest diffusion checkpoint + the trained VAE and wires
+    latent z-scoring / CFG / EMA exactly as the run trained them. Shared by
+    tools/serve.py and tools/bench_serving.py.
+
+    cond_dropout / ema_decay must match the training run (they change the
+    param tree); guidance_scale may differ (a sampling-time knob).
+    """
+    import dataclasses
+    import os
+
+    from flowerdiff.configs import get_preset, tiny_preset
+    from flowerdiff.runner import PipelineRunner
+    from flowerdiff.train.checkpoints import CheckpointManager
+
+    preset = get_preset(version)
+    if tiny:
+        preset = tiny_preset(preset)
+    lat = preset.latent
+    assert lat is not None, f"preset {version} has no latent stage"
+    if cond_dropout is not None or ema_decay is not None:
+        import dataclasses as _dc
+
+        lat = _dc.replace(
+            lat,
+            cond_dropout=(cond_dropout if cond_dropout is not None
+                          else lat.cond_dropout),
+            ema_decay=(ema_decay if ema_decay is not None else lat.ema_decay),
+        )
+    if guidance_scale is not None:
+        lat = dataclasses.replace(lat, guidance_scale=guidance_scale)
+    preset = dataclasses.replace(preset, latent=lat)
+
+    runner = PipelineRunner(
+        preset, results_dir=results_dir, dataset="synthetic",
+        seed=seed, synthetic_size=synthetic_size,
+    )
+    saved = CheckpointManager(
+        os.path.join(results_dir, "ckpt_diffusion")).latest_step()
+    assert saved, f"no diffusion checkpoint under {results_dir}"
+    _, diff = runner.run_latent(total_epochs=saved, final_sweep=False,
+                                cadence_viz=False)
+    vae, vae_params = runner._trained_vae
+    return SamplingService(
+        diff.model, {"params": diff.sampling_params}, vae, vae_params,
+        sched=diff.sched, buckets=tuple(sorted(buckets)),
+        latent_stats=diff.latent_stats, clip_x0=diff.cfg.clip_denoised,
+        sampler_kind=sampler_kind, ddim_steps=ddim_steps,
+    )

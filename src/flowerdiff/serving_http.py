@@ -230,6 +230,13 @@ def _npy_bytes(arr: np.ndarray) -> bytes:
 
 
 class _Handler(BaseHTTPRequestHandler):
+    # HTTP/1.1 keep-alive (every reply carries Content-Length) and
+    # TCP_NODELAY: the status/header flush and the body are separate
+    # writes, and with Nagle + delayed-ACK each response can stall ~40 ms
+    # — measured 26 -> 451 img/s on the burst benchmark (bench_serving.py).
+    protocol_version = "HTTP/1.1"
+    disable_nagle_algorithm = True
+
     # quiet by default; the server object can flip this on
     def log_message(self, fmt, *args):
         if getattr(self.server, "verbose", False):
@@ -331,6 +338,10 @@ class _Handler(BaseHTTPRequestHandler):
 
 class FlowerHTTPServer(ThreadingHTTPServer):
     daemon_threads = True
+    # listen(5) default drops SYNs under a concurrent-client burst; each
+    # dropped SYN costs a ~1 s client retransmit — measured 8 -> 450+ img/s
+    # on bench_serving.py's 16-client burst.
+    request_queue_size = 128
 
     def __init__(self, addr, batcher: CoalescingBatcher, verbose=False):
         super().__init__(addr, _Handler)

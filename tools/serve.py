@@ -19,7 +19,6 @@ Then:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import sys
 
@@ -32,8 +31,9 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
-    ap = argparse.ArgumentParser()
+def add_service_args(ap: argparse.ArgumentParser) -> None:
+    """Flags shared by serve.py and bench_serving.py (mirror
+    serving.service_from_run's signature)."""
     ap.add_argument("--results_dir", required=True)
     ap.add_argument("--version", default="v1")
     ap.add_argument("--synthetic_size", type=int, default=1020)
@@ -47,62 +47,43 @@ def main():
                     choices=["ancestral", "ddim"])
     ap.add_argument("--ddim_steps", type=int, default=50)
     ap.add_argument("--buckets", default="8,16,32,64,128,256")
+    ap.add_argument("--tiny", action="store_true")
+
+
+def build_service(args):
+    from flowerdiff.serving import service_from_run
+
+    return service_from_run(
+        args.results_dir, version=args.version,
+        synthetic_size=args.synthetic_size, seed=args.seed, tiny=args.tiny,
+        cond_dropout=args.cond_dropout, ema_decay=args.ema_decay,
+        guidance_scale=args.guidance_scale, sampler_kind=args.sampler,
+        ddim_steps=args.ddim_steps,
+        buckets=tuple(int(b) for b in args.buckets.split(",")),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    add_service_args(ap)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--max_batch", type=int, default=512)
-    ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
-    from flowerdiff.configs import get_preset, tiny_preset
-    from flowerdiff.runner import PipelineRunner
-    from flowerdiff.serving import SamplingService
     from flowerdiff.serving_http import serve
-    from flowerdiff.train.checkpoints import CheckpointManager
 
-    preset = get_preset(args.version)
-    if args.tiny:
-        preset = tiny_preset(preset)
-    lat = preset.latent
-    if args.cond_dropout is not None or args.ema_decay is not None:
-        lat = dataclasses.replace(
-            lat,
-            cond_dropout=(args.cond_dropout if args.cond_dropout is not None
-                          else lat.cond_dropout),
-            ema_decay=(args.ema_decay if args.ema_decay is not None
-                       else lat.ema_decay),
-        )
-    if args.guidance_scale is not None:
-        lat = dataclasses.replace(lat, guidance_scale=args.guidance_scale)
-    preset = dataclasses.replace(preset, latent=lat)
-
-    runner = PipelineRunner(
-        preset, results_dir=args.results_dir, dataset="synthetic",
-        seed=args.seed, synthetic_size=args.synthetic_size,
-    )
-    saved = CheckpointManager(
-        os.path.join(args.results_dir, "ckpt_diffusion")).latest_step()
-    assert saved, f"no diffusion checkpoint under {args.results_dir}"
-    _, diff = runner.run_latent(total_epochs=saved, final_sweep=False,
-                                cadence_viz=False)
-    vae, vae_params = runner._trained_vae
-
-    buckets = tuple(int(b) for b in args.buckets.split(","))
-    service = SamplingService(
-        diff.model, {"params": diff.sampling_params}, vae, vae_params,
-        sched=diff.sched, buckets=buckets, latent_stats=diff.latent_stats,
-        clip_x0=diff.cfg.clip_denoised, sampler_kind=args.sampler,
-        ddim_steps=args.ddim_steps,
-    )
-    print(f"warming {len(buckets)} buckets on {jax.default_backend()}...",
-          flush=True)
+    service = build_service(args)
+    print(f"warming {len(service.buckets)} buckets on "
+          f"{jax.default_backend()}...", flush=True)
     service.warmup(jax.random.key(args.seed + 99))
 
     server = serve(service, jax.random.key(args.seed), host=args.host,
                    port=args.port, max_wait_ms=args.max_wait_ms,
                    max_batch=args.max_batch, verbose=True)
-    print(f"serving ckpt epoch {saved} at http://{args.host}:{args.port} "
-          f"(sampler={args.sampler}, buckets={buckets})", flush=True)
+    print(f"serving at http://{args.host}:{args.port} "
+          f"(sampler={args.sampler}, buckets={service.buckets})", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
