@@ -17,13 +17,18 @@ network service using ONLY the standard library (no new dependencies):
 
     GET  /healthz     -> {"ok": true, "backend": ..., "buckets": [...]}
     GET  /stats       -> request/dispatch/coalescing counters
+    GET  /v1/classes  -> class-name list (reference: stringified indices,
+                         v1:1302)
+    GET  /v1/colors   -> color-name list (v3 taxonomy), 404 if uncolored
     POST /v1/sample   -> JSON body:
-        {"classes": [ids...],        # required, one per sample (before
-                                     #  n_per_class expansion)
-         "n_per_class": 1,           # optional repeat factor
-         "colors": [ids...],         # optional (v3 dual conditioning)
-         "format": "png"|"npy"|"json",   # default png (grid image)
-         "latents": false}           # true -> raw latents (npy/json only)
+        {"classes": [ids or names...],  # required, one per sample (before
+                                        #  n_per_class expansion); names
+                                        #  mirror v1:856-882's name-or-index
+         "n_per_class": 1,              # optional repeat factor
+         "colors": [ids or names...],   # optional (v3 dual conditioning,
+                                        #  names per v3:1175-1234)
+         "format": "png"|"npy"|"json",  # default png (grid image)
+         "latents": false}              # true -> raw latents (npy/json only)
 
 Responses: image/png (a sample grid), application/octet-stream (a .npy
 payload, np.load-able), or application/json (nested lists). Errors are
@@ -266,6 +271,17 @@ class _Handler(BaseHTTPRequestHandler):
             })
         elif self.path == "/stats":
             self._json(200, dict(self.server.batcher.stats))
+        elif self.path == "/v1/classes":
+            self._json(200, {"classes": self.server.class_names})
+        elif self.path == "/v1/colors":
+            svc = self.server.batcher.service
+            if svc.model.num_colors is None:
+                return self._json(404,
+                                  {"error": "this model has no color "
+                                            "conditioning"})
+            from flowerdiff.data.color_labels import COLOR_NAMES
+
+            self._json(200, {"colors": COLOR_NAMES[:svc.model.num_colors]})
         else:
             self._json(404, {"error": "not found"})
 
@@ -296,18 +312,36 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, {"shape": list(out.shape),
                              "data": out.tolist()})
 
+    def _resolve(self, entries, names, what: str, limit: int):
+        """Resolve a list of ids-or-names to int indices. Mirrors the
+        reference's name-or-index arguments (generate_class_samples
+        v1:856-882, generate_class_color_samples v3:1175-1234)."""
+        out = []
+        lookup = {n: i for i, n in enumerate(names)} if names else {}
+        for c in entries:
+            if isinstance(c, bool) or not isinstance(c, (int, str)):
+                raise ValueError(f"'{what}' entries must be ints or names")
+            if isinstance(c, str):
+                if c not in lookup:
+                    raise ValueError(f"unknown {what} name {c!r} "
+                                     f"(see GET /v1/{what})")
+                c = lookup[c]
+            if not 0 <= c < limit:
+                raise ValueError(f"{what} ids must be in [0, {limit})")
+            out.append(c)
+        return out
+
     def _validate(self, req):
         svc = self.server.batcher.service
         classes = req.get("classes")
-        if not isinstance(classes, list) or not classes or not all(
-                isinstance(c, int) for c in classes):
-            raise ValueError("'classes' must be a non-empty list of ints")
+        if not isinstance(classes, list) or not classes:
+            raise ValueError(
+                "'classes' must be a non-empty list of ids or names")
         n_per = req.get("n_per_class", 1)
         if not isinstance(n_per, int) or n_per < 1:
             raise ValueError("'n_per_class' must be a positive int")
-        num_classes = svc.model.num_classes
-        if any(not 0 <= c < num_classes for c in classes):
-            raise ValueError(f"class ids must be in [0, {num_classes})")
+        classes = self._resolve(classes, self.server.class_names, "classes",
+                                svc.model.num_classes)
         total = len(classes) * n_per
         limit = self.server.batcher.max_batch
         if total > limit:
@@ -317,14 +351,13 @@ class _Handler(BaseHTTPRequestHandler):
         if colors is not None:
             if svc.model.num_colors is None:
                 raise ValueError("this model has no color conditioning")
-            if (not isinstance(colors, list)
-                    or len(colors) != len(classes)
-                    or not all(isinstance(c, int) for c in colors)):
-                raise ValueError("'colors' must be an int list matching "
+            if not isinstance(colors, list) or len(colors) != len(classes):
+                raise ValueError("'colors' must be a list matching "
                                  "'classes' length")
-            if any(not 0 <= c < svc.model.num_colors for c in colors):
-                raise ValueError(
-                    f"color ids must be in [0, {svc.model.num_colors})")
+            from flowerdiff.data.color_labels import COLOR_NAMES
+
+            colors = self._resolve(colors, COLOR_NAMES, "colors",
+                                   svc.model.num_colors)
             colors = np.repeat(np.asarray(colors, np.int32), n_per)
         decode = not bool(req.get("latents", False))
         fmt = req.get("format", "png")
@@ -343,16 +376,23 @@ class FlowerHTTPServer(ThreadingHTTPServer):
     # on bench_serving.py's 16-client burst.
     request_queue_size = 128
 
-    def __init__(self, addr, batcher: CoalescingBatcher, verbose=False):
+    def __init__(self, addr, batcher: CoalescingBatcher, verbose=False,
+                 class_names=None):
         super().__init__(addr, _Handler)
         self.batcher = batcher
         self.verbose = verbose
+        # Reference parity: torchvision Flowers102 has no names, so the
+        # reference uses stringified indices as class names (v1:1302).
+        self.class_names = (list(class_names) if class_names is not None
+                            else [str(i) for i in
+                                  range(batcher.service.model.num_classes)])
 
 
 def serve(service, rng, host: str = "0.0.0.0", port: int = 8000,
           max_wait_ms: float = 5.0, max_batch: int = 512,
-          verbose: bool = False) -> FlowerHTTPServer:
+          verbose: bool = False, class_names=None) -> FlowerHTTPServer:
     """Build the batcher + server (does NOT block; call serve_forever())."""
     batcher = CoalescingBatcher(service, rng, max_wait_ms=max_wait_ms,
                                 max_batch=max_batch)
-    return FlowerHTTPServer((host, port), batcher, verbose=verbose)
+    return FlowerHTTPServer((host, port), batcher, verbose=verbose,
+                            class_names=class_names)

@@ -216,6 +216,54 @@ def test_http_sample_latents_json(http_server):
     assert np.isfinite(np.asarray(body["data"])).all()
 
 
+def test_http_classes_endpoint_and_name_resolution(http_server):
+    """Names mirror the reference's name-or-index args (v1:856-882):
+    default class names are stringified indices (v1:1302)."""
+    status, _, data = _request(http_server, "GET", "/v1/classes")
+    assert status == 200
+    names = json.loads(data)["classes"]
+    assert names == [str(i) for i in range(6)]
+    # sample by name == sample by index (names resolve before dispatch)
+    status, ctype, _ = _request(
+        http_server, "POST", "/v1/sample",
+        {"classes": ["2", 4, "0"], "format": "npy"})
+    assert status == 200 and ctype == "application/octet-stream"
+    status, _, data = _request(
+        http_server, "POST", "/v1/sample", {"classes": ["nope"]})
+    assert status == 400 and "unknown classes name" in json.loads(data)["error"]
+    # uncolored model: /v1/colors is a 404
+    status, _, _ = _request(http_server, "GET", "/v1/colors")
+    assert status == 404
+
+
+def test_http_color_names():
+    """v3 dual conditioning by color NAME (v3:1175-1234 name-or-index)."""
+    from flowerdiff.data.color_labels import COLOR_NAMES
+
+    service = _tiny_service(num_colors=10)
+    server = serve(service, jax.random.key(12), host="127.0.0.1", port=0,
+                   max_wait_ms=1.0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status, _, data = _request(server, "GET", "/v1/colors")
+        assert status == 200
+        assert json.loads(data)["colors"] == COLOR_NAMES
+        status, _, data = _request(
+            server, "POST", "/v1/sample",
+            {"classes": [0, 1], "colors": [COLOR_NAMES[2], 3],
+             "format": "npy"})
+        assert status == 200
+        assert np.load(io.BytesIO(data)).shape == (2, 64, 64, 3)
+        status, _, data = _request(
+            server, "POST", "/v1/sample",
+            {"classes": [0], "colors": ["chartreuse"]})
+        assert status == 400
+        assert "unknown colors name" in json.loads(data)["error"]
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+
+
 def test_http_validation_errors(http_server):
     cases = [
         ({}, 400),                                     # missing classes

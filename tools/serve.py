@@ -72,6 +72,7 @@ def main():
     ap.add_argument("--max_batch", type=int, default=512)
     args = ap.parse_args()
 
+    from flowerdiff.data.flowers102 import class_names
     from flowerdiff.serving_http import serve
 
     service = build_service(args)
@@ -81,7 +82,8 @@ def main():
 
     server = serve(service, jax.random.key(args.seed), host=args.host,
                    port=args.port, max_wait_ms=args.max_wait_ms,
-                   max_batch=args.max_batch, verbose=True)
+                   max_batch=args.max_batch, verbose=True,
+                   class_names=class_names())
     print(f"serving at http://{args.host}:{args.port} "
           f"(sampler={args.sampler}, buckets={service.buckets})", flush=True)
     try:
