@@ -197,6 +197,82 @@ class SamplingService:
     ) -> jax.Array:
         return self.sample(classes, rng, colors, decode=False)
 
+    def decode_latents(self, latents):
+        """Decode (N, latent_dim) latents -> (N, 64, 64, 3) np images via
+        the warm bucket-shaped decode programs (pad to the ladder, slice
+        back on host — same no-novel-shapes rule as _chunked)."""
+        import numpy as np
+
+        latents = np.asarray(latents, np.float32)
+        n = latents.shape[0]
+        outs = []
+        start = 0
+        for b in self.request_plan(n):
+            take = min(b, n - start)
+            chunk = latents[start:start + take]
+            if take < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - take,) + chunk.shape[1:],
+                                     np.float32)])
+            outs.append(np.asarray(self._decode(chunk))[:take])
+            start += take
+        return outs[0] if len(outs) == 1 else np.concatenate(outs)
+
+    def animate(
+        self,
+        class_idx: int,
+        rng: jax.Array,
+        color: Optional[int] = None,
+        num_frames: int = 50,
+        fps: int = 10,
+        label: Optional[str] = None,
+    ) -> bytes:
+        """One diffusion animation as GIF bytes — the serving form of
+        create_diffusion_animation (reference v1:884-960: denoise once,
+        re-noise the clean latent to a ping-pong timestep list with one
+        fixed eps, one frame per t).
+
+        Built entirely from warm programs: the clean latent rides the
+        bucketed sampler, the per-frame q_sample mix is host NumPy (an
+        elementwise op on (frames, latent) — device dispatch would compile
+        per num_frames value), and frames decode through decode_latents'
+        padded ladder. No request ever compiles.
+        """
+        import numpy as np
+
+        from flowerdiff.viz.animation import (
+            _pingpong_timesteps,
+            _render_frame,
+            encode_gif,
+        )
+
+        sample_key, noise_key = jax.random.split(rng)
+        cls = np.full((1,), class_idx, np.int32)
+        col = np.full((1,), color, np.int32) if color is not None else None
+        clean = np.asarray(
+            self.sample(cls, sample_key, col, decode=False))  # (1, D)
+
+        timesteps = _pingpong_timesteps(self.sched.n_steps, num_frames)
+        ts = np.asarray(timesteps, np.int64)
+        eps = np.asarray(jax.random.normal(noise_key, (1, clean.shape[1])))
+        alpha_bar = np.asarray(self.sched.alpha_bar)[ts][:, None]
+        frames_latent = (np.sqrt(alpha_bar) * clean
+                         + np.sqrt(1.0 - alpha_bar) * eps)
+        # t == 0 frames show the clean latent itself (v1:930 gates on t>0).
+        frames_latent[ts == 0] = clean
+
+        decoded = self.decode_latents(frames_latent)
+        name = label if label is not None else str(class_idx)
+        n_steps = self.sched.n_steps
+        frames = [
+            _render_frame(
+                decoded[i],
+                f"Class: {name} (t={t}, {t / n_steps * 100:.1f}% noise)",
+            )
+            for i, t in enumerate(timesteps)
+        ]
+        return encode_gif(frames, fps)
+
     def sample_classes(
         self,
         class_ids: Sequence[int],

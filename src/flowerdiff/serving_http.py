@@ -29,6 +29,10 @@ network service using ONLY the standard library (no new dependencies):
                                         #  names per v3:1175-1234)
          "format": "png"|"npy"|"json",  # default png (grid image)
          "latents": false}              # true -> raw latents (npy/json only)
+    POST /v1/animate  -> image/gif: the reference's diffusion animation
+                         (v1:884-960) as a service; body
+        {"class": id|name, "color": id|name?, "num_frames": 50,
+         "fps": 10, "seed": int?}
 
 Responses: image/png (a sample grid), application/octet-stream (a .npy
 payload, np.load-able), or application/json (nested lists). Errors are
@@ -133,6 +137,13 @@ class CoalescingBatcher:
         if item.error is not None:
             raise item.error
         return item.result
+
+    def next_key(self):
+        """A fresh PRNG key off the server-lifetime counter (used by
+        non-coalesced work such as /v1/animate when no seed is given)."""
+        with self._lock:
+            self._dispatch_counter += 1
+            return self._fold_in(self._rng, self._dispatch_counter)
 
     def stop(self):
         with self._lock:
@@ -270,7 +281,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "num_colors": svc.model.num_colors,
             })
         elif self.path == "/stats":
-            self._json(200, dict(self.server.batcher.stats))
+            self._json(200, {**self.server.batcher.stats,
+                             "animations": self.server.animations})
         elif self.path == "/v1/classes":
             self._json(200, {"classes": self.server.class_names})
         elif self.path == "/v1/colors":
@@ -286,6 +298,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": "not found"})
 
     def do_POST(self):
+        if self.path == "/v1/animate":
+            return self._animate()
         if self.path != "/v1/sample":
             return self._json(404, {"error": "not found"})
         try:
@@ -311,6 +325,59 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(200, {"shape": list(out.shape),
                              "data": out.tolist()})
+
+    def _animate(self):
+        """POST /v1/animate — the reference's headline GIF artifact
+        (create_diffusion_animation, v1:884-960) as a service. Body:
+        {"class": id|name, "color": id|name (optional), "num_frames": 50,
+         "fps": 10, "seed": int (optional, for reproducible output)}.
+        Responds image/gif. Runs outside the coalescer (one clean-latent
+        bucket dispatch + host frame assembly per request); concurrent
+        requests interleave safely with coalesced sampling dispatches."""
+        import jax
+
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            return self._json(400, {"error": "invalid JSON body"})
+        svc = self.server.batcher.service
+        try:
+            if "class" not in req:
+                raise ValueError("'class' (id or name) is required")
+            (class_idx,) = self._resolve([req["class"]],
+                                         self.server.class_names,
+                                         "classes", svc.model.num_classes)
+            color = None
+            if req.get("color") is not None:
+                if svc.model.num_colors is None:
+                    raise ValueError("this model has no color conditioning")
+                from flowerdiff.data.color_labels import COLOR_NAMES
+
+                (color,) = self._resolve([req["color"]], COLOR_NAMES,
+                                         "colors", svc.model.num_colors)
+            num_frames = req.get("num_frames", 50)
+            if not isinstance(num_frames, int) or not 2 <= num_frames <= 200:
+                raise ValueError("'num_frames' must be an int in [2, 200]")
+            fps = req.get("fps", 10)
+            if not isinstance(fps, int) or not 1 <= fps <= 60:
+                raise ValueError("'fps' must be an int in [1, 60]")
+            seed = req.get("seed")
+            if seed is not None and not isinstance(seed, int):
+                raise ValueError("'seed' must be an int")
+        except ValueError as exc:
+            return self._json(400, {"error": str(exc)})
+        key = (jax.random.key(seed) if seed is not None
+               else self.server.batcher.next_key())
+        label = self.server.class_names[class_idx]
+        try:
+            gif = svc.animate(class_idx, key, color=color,
+                              num_frames=num_frames, fps=fps, label=label)
+        except BaseException as exc:
+            return self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+        with self.server.batcher._lock:
+            self.server.animations += 1
+        self._reply(200, gif, "image/gif")
 
     def _resolve(self, entries, names, what: str, limit: int):
         """Resolve a list of ids-or-names to int indices. Mirrors the
@@ -381,6 +448,7 @@ class FlowerHTTPServer(ThreadingHTTPServer):
         super().__init__(addr, _Handler)
         self.batcher = batcher
         self.verbose = verbose
+        self.animations = 0
         # Reference parity: torchvision Flowers102 has no names, so the
         # reference uses stringified indices as class names (v1:1302).
         self.class_names = (list(class_names) if class_names is not None

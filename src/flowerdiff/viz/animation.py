@@ -46,11 +46,14 @@ def _pingpong_timesteps(n_steps: int, num_frames: int) -> list[int]:
     return timesteps + sorted(timesteps[1:-1], reverse=True)
 
 
-def _write_gif(frames, save_path: str, fps: int) -> None:
-    """GIF encode with ONE shared adaptive palette (built from the first,
-    middle, and last frames stacked) instead of imageio's per-frame
-    quantization — measured 2 s vs 30 s for 96 noise-heavy frames; output
-    plays identically."""
+def encode_gif(frames, fps: int) -> bytes:
+    """GIF-encode rendered frames with ONE shared adaptive palette (built
+    from the first, middle, and last frames stacked) instead of imageio's
+    per-frame quantization — measured 2 s vs 30 s for 96 noise-heavy
+    frames; output plays identically. Returns the encoded bytes (the
+    serving layer streams them; `_write_gif` puts them on disk)."""
+    import io
+
     from PIL import Image
 
     ims = [Image.fromarray(np.asarray(f)) for f in frames]
@@ -60,9 +63,17 @@ def _write_gif(frames, save_path: str, fps: int) -> None:
     )
     pal = Image.fromarray(probe).quantize(colors=255, method=Image.MEDIANCUT)
     qs = [im.quantize(palette=pal, dither=Image.FLOYDSTEINBERG) for im in ims]
-    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
-    qs[0].save(save_path, save_all=True, append_images=qs[1:],
+    buf = io.BytesIO()
+    qs[0].save(buf, format="GIF", save_all=True, append_images=qs[1:],
                duration=int(1000.0 / fps), loop=0)
+    return buf.getvalue()
+
+
+def _write_gif(frames, save_path: str, fps: int) -> None:
+    data = encode_gif(frames, fps)
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    with open(save_path, "wb") as f:
+        f.write(data)
 
 
 def _render_frame(img: np.ndarray, title: str, scale: int = 5,

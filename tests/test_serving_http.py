@@ -264,6 +264,42 @@ def test_http_color_names():
         server.batcher.stop()
 
 
+def test_http_animate_gif(http_server):
+    """POST /v1/animate returns a multi-frame GIF (the reference's
+    create_diffusion_animation artifact, v1:884-960, as a service)."""
+    from PIL import Image
+
+    status, ctype, data = _request(
+        http_server, "POST", "/v1/animate",
+        {"class": "3", "num_frames": 6, "fps": 5, "seed": 7})
+    assert status == 200 and ctype == "image/gif"
+    gif = Image.open(io.BytesIO(data))
+    # ping-pong list for 6 frames over 8 steps: forward + interior backward
+    assert gif.format == "GIF" and gif.n_frames > 6
+    # seeded -> reproducible bytes
+    status2, _, data2 = _request(
+        http_server, "POST", "/v1/animate",
+        {"class": "3", "num_frames": 6, "fps": 5, "seed": 7})
+    assert status2 == 200 and data2 == data
+    # stats carry the animation counter
+    _, _, stats = _request(http_server, "GET", "/stats")
+    assert json.loads(stats)["animations"] >= 2
+
+
+def test_http_animate_validation(http_server):
+    cases = [
+        ({}, 400),                                   # missing class
+        ({"class": 99}, 400),                        # out of range
+        ({"class": 0, "num_frames": 1}, 400),        # too few frames
+        ({"class": 0, "fps": 0}, 400),               # bad fps
+        ({"class": 0, "seed": "x"}, 400),            # bad seed
+        ({"class": 0, "color": 1}, 400),             # uncolored model
+    ]
+    for body, want in cases:
+        status, _, data = _request(http_server, "POST", "/v1/animate", body)
+        assert status == want, (body, status, data)
+
+
 def test_http_validation_errors(http_server):
     cases = [
         ({}, 400),                                     # missing classes
