@@ -318,6 +318,7 @@ class PixelSamplingService:
         ddim_steps: int = 50,
         img_size: int = 64,
     ):
+        self.model = model  # no num_classes/num_colors attrs: unconditional
         self.sched = sched or linear_schedule()
         self.buckets = tuple(sorted(buckets))
         assert self.buckets, "need at least one bucket size"
@@ -339,6 +340,39 @@ class PixelSamplingService:
                buckets: Optional[Sequence[int]] = None) -> None:
         for b in buckets or self.buckets:
             self.sample_images(b, rng)
+
+    def sample(self, classes, rng: jax.Array, colors=None, decode=True):
+        """Batcher-compatible entry (mirrors SamplingService.sample): the
+        pixel family is unconditional, so only the row count of `classes`
+        matters (the HTTP layer passes a zeros placeholder built from the
+        request's "n"). colors / raw latents are not a thing here."""
+        import numpy as np
+
+        assert colors is None, "pixel family has no color conditioning"
+        assert decode, "pixel family has no latent space to return"
+        n = int(np.asarray(classes).reshape(-1).shape[0])
+        return self.sample_images(n, rng)
+
+    def animate(self, rng: jax.Array, num_frames: int = 50, fps: int = 10,
+                label=None) -> bytes:
+        """GIF bytes of one sampling trajectory — the serving form of
+        create_diffusion_animation for v4/v5 (reference v4:225-234:
+        sample_with_intermediates captures frames of one reverse run)."""
+        import numpy as np
+
+        from flowerdiff.viz.animation import encode_gif
+
+        sched = self.sched
+        _, traj = self.sampler.sample_with_trajectory(rng, 1)
+        traj = np.asarray(traj)
+        step_interval = max(1, sched.n_steps // num_frames)
+        capture = sorted(set(range(0, sched.n_steps, step_interval)) | {0})
+        # trajectory index i holds the state after the step at t=n_steps-1-i
+        frames = [
+            np.uint8(255 * np.clip(traj[sched.n_steps - 1 - t][0], 0, 1))
+            for t in sorted(capture, reverse=True)
+        ]
+        return encode_gif(frames, fps)
 
     def sample_images(self, n: int, rng: jax.Array):
         """n images of shape (n, img_size, img_size, 3) in [0, 1] (clipped
@@ -421,4 +455,41 @@ def service_from_run(
         sched=diff.sched, buckets=tuple(sorted(buckets)),
         latent_stats=diff.latent_stats, clip_x0=diff.cfg.clip_denoised,
         sampler_kind=sampler_kind, ddim_steps=ddim_steps,
+    )
+
+
+def pixel_service_from_run(
+    results_dir: str,
+    version: str = "v4",
+    seed: int = 42,
+    tiny: bool = False,
+    sampler_kind: str = "ancestral",
+    ddim_steps: int = 50,
+    buckets: Tuple[int, ...] = (4, 16, 64),
+) -> "PixelSamplingService":
+    """Build a :class:`PixelSamplingService` from a finished v4/v5 run's
+    ckpt_pixel checkpoint (counterpart of service_from_run)."""
+    import os
+
+    from flowerdiff.configs import get_preset, tiny_preset
+    from flowerdiff.train.checkpoints import (
+        CheckpointManager,
+        state_to_tree,
+        tree_into_state,
+    )
+    from flowerdiff.train.pixel_ddpm import PixelDiffusionTrainer
+
+    preset = get_preset(version)
+    if tiny:
+        preset = tiny_preset(preset)
+    assert preset.pixel is not None, f"preset {version} has no pixel stage"
+    trainer = PixelDiffusionTrainer(preset.pixel, jax.random.key(seed))
+    ckpt = CheckpointManager(os.path.join(results_dir, "ckpt_pixel"))
+    assert ckpt.exists(), f"no ckpt_pixel under {results_dir}"
+    restored = ckpt.restore(like=state_to_tree(trainer.state))
+    trainer.state = tree_into_state(trainer.state, restored)
+    return PixelSamplingService(
+        trainer.model, {"params": trainer.state.params}, sched=trainer.sched,
+        buckets=tuple(sorted(buckets)), sampler_kind=sampler_kind,
+        ddim_steps=ddim_steps, img_size=preset.pixel.img_size,
     )

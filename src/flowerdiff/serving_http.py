@@ -34,6 +34,11 @@ network service using ONLY the standard library (no new dependencies):
         {"class": id|name, "color": id|name?, "num_frames": 50,
          "fps": 10, "seed": int?}
 
+The same server fronts the unconditional pixel family (v4/v5,
+PixelSamplingService — /healthz reports "family": "pixel"): /v1/sample
+takes {"n": count} instead of classes, /v1/animate takes no class, and
+/v1/classes//v1/colors answer 404.
+
 Responses: image/png (a sample grid), application/octet-stream (a .npy
 payload, np.load-able), or application/json (nested lists). Errors are
 JSON with HTTP 400/413/500/503.
@@ -277,17 +282,21 @@ class _Handler(BaseHTTPRequestHandler):
                 "ok": True,
                 "backend": jax.default_backend(),
                 "buckets": list(svc.buckets),
-                "num_classes": svc.model.num_classes,
-                "num_colors": svc.model.num_colors,
+                "family": self.server.family,
+                "num_classes": getattr(svc.model, "num_classes", None),
+                "num_colors": getattr(svc.model, "num_colors", None),
             })
         elif self.path == "/stats":
             self._json(200, {**self.server.batcher.stats,
                              "animations": self.server.animations})
         elif self.path == "/v1/classes":
+            if self.server.family == "pixel":
+                return self._json(404, {"error": "the pixel family is "
+                                                 "unconditional"})
             self._json(200, {"classes": self.server.class_names})
         elif self.path == "/v1/colors":
             svc = self.server.batcher.service
-            if svc.model.num_colors is None:
+            if getattr(svc.model, "num_colors", None) is None:
                 return self._json(404,
                                   {"error": "this model has no color "
                                             "conditioning"})
@@ -342,20 +351,26 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, json.JSONDecodeError):
             return self._json(400, {"error": "invalid JSON body"})
         svc = self.server.batcher.service
+        pixel = self.server.family == "pixel"
         try:
-            if "class" not in req:
-                raise ValueError("'class' (id or name) is required")
-            (class_idx,) = self._resolve([req["class"]],
-                                         self.server.class_names,
-                                         "classes", svc.model.num_classes)
-            color = None
-            if req.get("color") is not None:
-                if svc.model.num_colors is None:
-                    raise ValueError("this model has no color conditioning")
-                from flowerdiff.data.color_labels import COLOR_NAMES
+            class_idx = color = None
+            if pixel:
+                if "class" in req or "color" in req:
+                    raise ValueError("the pixel family is unconditional")
+            else:
+                if "class" not in req:
+                    raise ValueError("'class' (id or name) is required")
+                (class_idx,) = self._resolve([req["class"]],
+                                             self.server.class_names,
+                                             "classes", svc.model.num_classes)
+                if req.get("color") is not None:
+                    if svc.model.num_colors is None:
+                        raise ValueError(
+                            "this model has no color conditioning")
+                    from flowerdiff.data.color_labels import COLOR_NAMES
 
-                (color,) = self._resolve([req["color"]], COLOR_NAMES,
-                                         "colors", svc.model.num_colors)
+                    (color,) = self._resolve([req["color"]], COLOR_NAMES,
+                                             "colors", svc.model.num_colors)
             num_frames = req.get("num_frames", 50)
             if not isinstance(num_frames, int) or not 2 <= num_frames <= 200:
                 raise ValueError("'num_frames' must be an int in [2, 200]")
@@ -369,10 +384,14 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(400, {"error": str(exc)})
         key = (jax.random.key(seed) if seed is not None
                else self.server.batcher.next_key())
-        label = self.server.class_names[class_idx]
         try:
-            gif = svc.animate(class_idx, key, color=color,
-                              num_frames=num_frames, fps=fps, label=label)
+            if pixel:
+                gif = svc.animate(key, num_frames=num_frames, fps=fps)
+            else:
+                label = self.server.class_names[class_idx]
+                gif = svc.animate(class_idx, key, color=color,
+                                  num_frames=num_frames, fps=fps,
+                                  label=label)
         except BaseException as exc:
             return self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
         with self.server.batcher._lock:
@@ -400,6 +419,24 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _validate(self, req):
         svc = self.server.batcher.service
+        limit = self.server.batcher.max_batch
+        if self.server.family == "pixel":
+            # unconditional family: the request names a count, not classes
+            if "classes" in req or "colors" in req:
+                raise ValueError("the pixel family is unconditional; "
+                                 "request {'n': count} instead of classes")
+            n = req.get("n", 1)
+            if not isinstance(n, int) or n < 1:
+                raise ValueError("'n' must be a positive int")
+            if n > limit:
+                raise ValueError(f"request of {n} images exceeds the "
+                                 f"{limit}-image limit; split the request")
+            if req.get("latents"):
+                raise ValueError("the pixel family has no latent space")
+            fmt = req.get("format", "png")
+            if fmt not in ("png", "npy", "json"):
+                raise ValueError("'format' must be png, npy, or json")
+            return np.zeros((n,), np.int32), None, True, fmt
         classes = req.get("classes")
         if not isinstance(classes, list) or not classes:
             raise ValueError(
@@ -410,7 +447,6 @@ class _Handler(BaseHTTPRequestHandler):
         classes = self._resolve(classes, self.server.class_names, "classes",
                                 svc.model.num_classes)
         total = len(classes) * n_per
-        limit = self.server.batcher.max_batch
         if total > limit:
             raise ValueError(f"request of {total} images exceeds the "
                              f"{limit}-image limit; split the request")
@@ -449,11 +485,14 @@ class FlowerHTTPServer(ThreadingHTTPServer):
         self.batcher = batcher
         self.verbose = verbose
         self.animations = 0
+        num_classes = getattr(batcher.service.model, "num_classes", None)
+        # "pixel" = the unconditional v4/v5 family (PixelSamplingService):
+        # requests carry a count, not classes.
+        self.family = "latent" if num_classes is not None else "pixel"
         # Reference parity: torchvision Flowers102 has no names, so the
         # reference uses stringified indices as class names (v1:1302).
         self.class_names = (list(class_names) if class_names is not None
-                            else [str(i) for i in
-                                  range(batcher.service.model.num_classes)])
+                            else [str(i) for i in range(num_classes or 0)])
 
 
 def serve(service, rng, host: str = "0.0.0.0", port: int = 8000,

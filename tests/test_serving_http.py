@@ -345,6 +345,56 @@ def test_http_concurrent_requests_all_served(http_server):
         assert status == 200 and arr.shape == (1, 64, 64, 3)
 
 
+def _tiny_pixel_service():
+    from flowerdiff.models.pixel_unet import PixelUNet
+    from flowerdiff.serving import PixelSamplingService
+
+    model = PixelUNet(base_channels=8, time_emb_dim=16)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.zeros((1,), jnp.int32))
+    return PixelSamplingService(model, params, sched=linear_schedule(8),
+                                buckets=(2, 4), img_size=16)
+
+
+def test_http_pixel_family():
+    """The same server fronts the unconditional v4/v5 family: {'n': count}
+    requests, class-free animation, 404 class/color discovery."""
+    from PIL import Image
+
+    server = serve(_tiny_pixel_service(), jax.random.key(21),
+                   host="127.0.0.1", port=0, max_wait_ms=1.0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status, _, data = _request(server, "GET", "/healthz")
+        health = json.loads(data)
+        assert health["family"] == "pixel" and health["num_classes"] is None
+        status, _, _ = _request(server, "GET", "/v1/classes")
+        assert status == 404
+        status, ctype, data = _request(
+            server, "POST", "/v1/sample", {"n": 3, "format": "npy"})
+        assert status == 200
+        arr = np.load(io.BytesIO(data))
+        assert arr.shape == (3, 16, 16, 3)
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+        # conditional args are rejected with a helpful message
+        for bad in ({"classes": [0]}, {"n": 1, "colors": [0]},
+                    {"n": 0}, {"n": 1, "latents": True}):
+            status, _, data = _request(server, "POST", "/v1/sample", bad)
+            assert status == 400, (bad, data)
+        # class-free animation
+        status, ctype, data = _request(
+            server, "POST", "/v1/animate",
+            {"num_frames": 4, "fps": 5, "seed": 3})
+        assert status == 200 and ctype == "image/gif"
+        gif = Image.open(io.BytesIO(data))
+        assert gif.format == "GIF" and gif.n_frames >= 4
+        status, _, _ = _request(server, "POST", "/v1/animate", {"class": 0})
+        assert status == 400
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+
+
 def test_http_color_conditioned_model():
     """v3 dual conditioning over HTTP: colors validated + threaded through."""
     service = _tiny_service(num_colors=4)
@@ -365,3 +415,23 @@ def test_http_color_conditioned_model():
     finally:
         server.shutdown()
         server.batcher.stop()
+
+
+def test_pixel_service_from_run(tmp_path):
+    """pixel_service_from_run restores a saved ckpt_pixel and serves it
+    (the v4/v5 counterpart of service_from_run)."""
+    from flowerdiff.configs import get_preset, tiny_preset
+    from flowerdiff.serving import pixel_service_from_run
+    from flowerdiff.train.checkpoints import CheckpointManager, state_to_tree
+    from flowerdiff.train.pixel_ddpm import PixelDiffusionTrainer
+
+    preset = tiny_preset(get_preset("v4"))
+    trainer = PixelDiffusionTrainer(preset.pixel, jax.random.key(42))
+    CheckpointManager(str(tmp_path / "ckpt_pixel")).save(
+        1, state_to_tree(trainer.state))
+    svc = pixel_service_from_run(str(tmp_path), version="v4", tiny=True,
+                                 buckets=(2, 4))
+    imgs = svc.sample_images(3, jax.random.key(1))
+    size = preset.pixel.img_size
+    assert imgs.shape == (3, size, size, 3)
+    assert np.isfinite(imgs).all()

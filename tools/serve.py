@@ -46,21 +46,35 @@ def add_service_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--sampler", default="ancestral",
                     choices=["ancestral", "ddim"])
     ap.add_argument("--ddim_steps", type=int, default=50)
-    ap.add_argument("--buckets", default="8,16,32,64,128,256")
+    ap.add_argument("--buckets", default=ap_default_buckets(),
+                    help="bucket ladder; pixel presets (v4/v5) default to "
+                         "4,16,64 unless overridden")
     ap.add_argument("--tiny", action="store_true")
 
 
 def build_service(args):
-    from flowerdiff.serving import service_from_run
+    from flowerdiff.serving import pixel_service_from_run, service_from_run
 
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    if args.version in ("v4", "v5"):
+        return pixel_service_from_run(
+            args.results_dir, version=args.version, seed=args.seed,
+            tiny=args.tiny, sampler_kind=args.sampler,
+            ddim_steps=args.ddim_steps,
+            buckets=buckets if args.buckets != ap_default_buckets()
+            else (4, 16, 64),
+        )
     return service_from_run(
         args.results_dir, version=args.version,
         synthetic_size=args.synthetic_size, seed=args.seed, tiny=args.tiny,
         cond_dropout=args.cond_dropout, ema_decay=args.ema_decay,
         guidance_scale=args.guidance_scale, sampler_kind=args.sampler,
-        ddim_steps=args.ddim_steps,
-        buckets=tuple(int(b) for b in args.buckets.split(",")),
+        ddim_steps=args.ddim_steps, buckets=buckets,
     )
+
+
+def ap_default_buckets() -> str:
+    return "8,16,32,64,128,256"
 
 
 def main():
@@ -80,10 +94,11 @@ def main():
           f"{jax.default_backend()}...", flush=True)
     service.warmup(jax.random.key(args.seed + 99))
 
+    names = class_names() if args.version not in ("v4", "v5") else None
     server = serve(service, jax.random.key(args.seed), host=args.host,
                    port=args.port, max_wait_ms=args.max_wait_ms,
                    max_batch=args.max_batch, verbose=True,
-                   class_names=class_names())
+                   class_names=names)
     print(f"serving at http://{args.host}:{args.port} "
           f"(sampler={args.sampler}, buckets={service.buckets})", flush=True)
     try:
