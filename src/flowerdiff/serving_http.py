@@ -394,7 +394,7 @@ class _Handler(BaseHTTPRequestHandler):
                                   label=label)
         except BaseException as exc:
             return self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
-        with self.server.batcher._lock:
+        with self.server.anim_lock:
             self.server.animations += 1
         self._reply(200, gif, "image/gif")
 
@@ -485,6 +485,7 @@ class FlowerHTTPServer(ThreadingHTTPServer):
         self.batcher = batcher
         self.verbose = verbose
         self.animations = 0
+        self.anim_lock = threading.Lock()
         num_classes = getattr(batcher.service.model, "num_classes", None)
         # "pixel" = the unconditional v4/v5 family (PixelSamplingService):
         # requests carry a count, not classes.
