@@ -18,8 +18,11 @@ TPU-first redesign (SURVEY.md §7.1):
     data, not Python constants, so epochs never recompile.
   - The EMA center update (v1:1132-1134) is a masked segment-sum update on
     the same device pass.
-  - XLA CSEs the duplicated generator forward (same params, same rngs) that
-    the functional D-then-G ordering writes down.
+  - The generator forward runs ONCE: the G objective is restructured around
+    an explicit jax.vjp so the D-loss (on the detached recon) and the G-loss
+    (vs the updated D) share a single forward's primals/residuals (see
+    make_vae_gan_step_body). XLA does NOT CSE duplicate forwards across
+    differentiation contexts — the vjp restructure bought +16-18% step time.
 """
 from __future__ import annotations
 
