@@ -50,6 +50,7 @@ class SamplingService:
         clip_x0: Optional[float] = None,
         sampler_kind: str = "ancestral",
         ddim_steps: int = 50,
+        quantize_uint8: bool = False,
     ):
         """latent_stats: (mean, std) per-dim arrays when the model was
         trained z-scored (runner saves them as latent_stats.npz).
@@ -58,7 +59,12 @@ class SamplingService:
         sampler_kind: 'ancestral' (the reference's 1000 sequential steps,
         v1:594-598, as one compiled scan / Pallas kernel) or 'ddim' —
         deterministic accelerated sampling over `ddim_steps` strided
-        timesteps for latency-sensitive serving."""
+        timesteps for latency-sensitive serving.
+        quantize_uint8: quantize decoded images to uint8 ON DEVICE —
+        4x fewer device->host bytes than f32 on the serving-critical D2H
+        path (the tunnel transfer dominated the round-3 ceiling;
+        artifacts/serving_smoke). PNG encoding consumes uint8 anyway;
+        float consumers divide by 255."""
         self.model = model
         self.params = params
         self.sched = sched or linear_schedule()
@@ -83,11 +89,18 @@ class SamplingService:
         self._vae_params = (
             vae_params if "params" in vae_params else {"params": vae_params}
         )
+        self.quantize_uint8 = quantize_uint8
+
         # params as jit arguments (closure constants would be re-staged per
         # call and blow up compile time)
-        self._decode_jit = jax.jit(
-            lambda vp, z: vae.apply(vp, z, method=FlowerVAE.decode)
-        )
+        def _dec(vp, z):
+            img = vae.apply(vp, z, method=FlowerVAE.decode)
+            if quantize_uint8:
+                img = jnp.round(
+                    jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            return img
+
+        self._decode_jit = jax.jit(_dec)
         self._decode = lambda z: self._decode_jit(self._vae_params, z)
 
     def bucket_size(self, n: int) -> int:
@@ -158,7 +171,12 @@ class SamplingService:
         if colors is not None:
             colors = np.asarray(colors, np.int32).reshape(-1)
         n = classes.shape[0]
-        outs = []
+        # Phase 1 — dispatch EVERY chunk before fetching any: JAX dispatch
+        # is async, so chunk i's D2H transfer (started eagerly with
+        # copy_to_host_async) overlaps chunk i+1's sampling compute. The
+        # previous np.asarray-per-chunk forced a full sync between chunks —
+        # zero compute/transfer overlap on the tunneled-chip deployment.
+        pending = []
         start = 0
         for i, b in enumerate(self.request_plan(n)):
             take = min(b, n - start)
@@ -170,8 +188,14 @@ class SamplingService:
             # Pad through sampling AND decode so both programs see bucket
             # shapes; slice each chunk back to its real size on the host.
             out = self._decode(latents) if decode else latents
-            outs.append(np.asarray(out)[:take])
+            try:
+                out.copy_to_host_async()
+            except AttributeError:  # non-jax array (tests with stub samplers)
+                pass
+            pending.append((out, take))
             start += take
+        # Phase 2 — fetch in order (transfers already in flight).
+        outs = [np.asarray(out)[:take] for out, take in pending]
         return outs[0] if len(outs) == 1 else np.concatenate(outs)
 
     def sample(
@@ -317,11 +341,21 @@ class PixelSamplingService:
         sampler_kind: str = "ancestral",
         ddim_steps: int = 50,
         img_size: int = 64,
+        quantize_uint8: bool = False,
     ):
         self.model = model  # no num_classes/num_colors attrs: unconditional
         self.sched = sched or linear_schedule()
         self.buckets = tuple(sorted(buckets))
         assert self.buckets, "need at least one bucket size"
+        self.quantize_uint8 = quantize_uint8
+        if quantize_uint8:
+            # on-device clip+quantize: 4x fewer D2H bytes than f32 —
+            # and pixel rows are 2,000x latent rows, so this path is the
+            # one that actually saturated the tunnel.
+            self._post = jax.jit(lambda x: jnp.round(
+                jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8))
+        else:
+            self._post = jax.jit(lambda x: jnp.clip(x, 0.0, 1.0))
         self.sampler = DiffusionSampler(
             model, params, self.sched, (img_size, img_size, 3),
             clip_x0=clip_x0,
@@ -381,15 +415,22 @@ class PixelSamplingService:
         reach the device (same rationale as SamplingService._chunked)."""
         import numpy as np
 
-        outs = []
+        # Dispatch every chunk before fetching any (async D2H overlaps the
+        # next chunk's sampling — see SamplingService._chunked). The clip
+        # (and uint8 quantization when enabled) runs ON DEVICE.
+        pending = []
         start = 0
         for i, b in enumerate(self.request_plan(n)):
             take = min(b, n - start)
-            x = self.sampler.sample(jax.random.fold_in(rng, i), b)
-            outs.append(np.asarray(x)[:take])
+            x = self._post(self.sampler.sample(jax.random.fold_in(rng, i), b))
+            try:
+                x.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append((x, take))
             start += take
-        out = outs[0] if len(outs) == 1 else np.concatenate(outs)
-        return np.clip(out, 0.0, 1.0)
+        outs = [np.asarray(x)[:take] for x, take in pending]
+        return outs[0] if len(outs) == 1 else np.concatenate(outs)
 
 
 def service_from_run(
@@ -404,6 +445,7 @@ def service_from_run(
     sampler_kind: str = "ancestral",
     ddim_steps: int = 50,
     buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+    quantize_uint8: bool = False,
 ) -> "SamplingService":
     """Build a :class:`SamplingService` from a finished run's results dir.
 
@@ -455,6 +497,7 @@ def service_from_run(
         sched=diff.sched, buckets=tuple(sorted(buckets)),
         latent_stats=diff.latent_stats, clip_x0=diff.cfg.clip_denoised,
         sampler_kind=sampler_kind, ddim_steps=ddim_steps,
+        quantize_uint8=quantize_uint8,
     )
 
 
@@ -466,6 +509,7 @@ def pixel_service_from_run(
     sampler_kind: str = "ancestral",
     ddim_steps: int = 50,
     buckets: Tuple[int, ...] = (4, 16, 64),
+    quantize_uint8: bool = False,
 ) -> "PixelSamplingService":
     """Build a :class:`PixelSamplingService` from a finished v4/v5 run's
     ckpt_pixel checkpoint (counterpart of service_from_run)."""
@@ -492,4 +536,5 @@ def pixel_service_from_run(
         trainer.model, {"params": trainer.state.params}, sched=trainer.sched,
         buckets=tuple(sorted(buckets)), sampler_kind=sampler_kind,
         ddim_steps=ddim_steps, img_size=preset.pixel.img_size,
+        quantize_uint8=quantize_uint8,
     )

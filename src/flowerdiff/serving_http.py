@@ -228,14 +228,18 @@ class CoalescingBatcher:
 # HTTP layer
 # ---------------------------------------------------------------------------
 def _png_grid(images: np.ndarray) -> bytes:
-    """(N, H, W, 3) floats in [0,1] -> one grid PNG (row-major, ~square)."""
+    """(N, H, W, 3) floats in [0,1] — or device-quantized uint8 — -> one
+    grid PNG (row-major, ~square)."""
     from PIL import Image
 
     n, h, w, c = images.shape
     cols = int(np.ceil(np.sqrt(n)))
     rows = int(np.ceil(n / cols))
     grid = np.zeros((rows * h, cols * w, c), np.uint8)
-    arr = (np.clip(images, 0.0, 1.0) * 255).astype(np.uint8)
+    if images.dtype == np.uint8:  # quantize_uint8 service: ready as-is
+        arr = images
+    else:
+        arr = (np.clip(images, 0.0, 1.0) * 255).astype(np.uint8)
     for i in range(n):
         r, cc = divmod(i, cols)
         grid[r * h:(r + 1) * h, cc * w:(cc + 1) * w] = arr[i]
@@ -329,7 +333,12 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
         if fmt == "png":
             self._reply(200, _png_grid(out), "image/png")
-        elif fmt == "npy":
+            return
+        if out.dtype == np.uint8:
+            # quantize_uint8 service: keep the documented float [0,1]
+            # client contract for npy/json
+            out = out.astype(np.float32) / 255.0
+        if fmt == "npy":
             self._reply(200, _npy_bytes(out), "application/octet-stream")
         else:
             self._json(200, {"shape": list(out.shape),

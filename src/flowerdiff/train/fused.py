@@ -216,30 +216,175 @@ def make_fused_latent_epochs(
     jitter: float = 0.2,
     mesh: Optional[Mesh] = None,
     steps_per_epoch: int = 1,
+    epoch_encode: Optional[bool] = None,
 ):
     """fn(state, vae_params, sched, images_u8, labels_all, colors_all, idx,
     offsets, rng, data_key, latent_stats) -> (state, losses (T,)).
 
     colors_all must be None iff has_colors is False (static arity).
-    T must equal (whole epochs) x steps_per_epoch."""
+    T must equal (whole epochs) x steps_per_epoch.
+
+    epoch_encode=True (default from cfg.epoch_encode) restructures each epoch
+    to encode the WHOLE epoch's augmented images through the frozen VAE in
+    ONE batched call before scanning the denoiser steps — the decomposition
+    (artifacts/decompose_latent_r4.json) shows the b64 per-step encode is 97%
+    of the step FLOPs at only ~37% MFU while the same encode at epoch batch
+    runs 45-65%. Semantics per sample are IDENTICAL (same augment keys, same
+    per-row reparameterization keys keyed off state.step, same denoiser
+    math); only the conv batching changes, so results match the loop path to
+    conv-reduction tolerance. cfg.encode_dtype='bfloat16' additionally runs
+    the frozen encoder's convs in bf16 (noise draw stays f32 — see
+    make_latent_encode_fn); default None keeps the VAE's own dtype."""
+    from flowerdiff.train.latent_ddpm import (
+        make_latent_denoise_body,
+        make_latent_encode_fn,
+    )
+
+    if epoch_encode is None:
+        epoch_encode = getattr(cfg, "epoch_encode", False)
+    if getattr(cfg, "train_kernel", False):
+        if not epoch_encode:
+            raise ValueError("cfg.train_kernel=True requires epoch_encode")
+        if mesh is not None:
+            raise ValueError(
+                "cfg.train_kernel is the single-chip fast path; multi-chip "
+                "training uses the XLA step body (pallas_call does not "
+                "shard under a mesh without shard_map)"
+            )
     step_body = make_latent_diffusion_step_body(model, vae, sched, cfg)
     gather = _make_gather(augment, max_rotation_deg, jitter, mesh)
 
+    if not epoch_encode:
+        def epochs_fn(state, vae_params, sched_arg, images_u8, labels_all,
+                      colors_all, idx, offsets, rng, data_key, latent_stats):
+            def body(carry, xs):
+                st = carry
+                idx_row, offset = xs
+                imgs = gather(images_u8, idx_row, data_key, offset)
+                labs = _take_sharded(labels_all, idx_row, mesh)
+                cols = _take_sharded(colors_all, idx_row, mesh) if has_colors else None
+                st, loss = step_body(
+                    st, vae_params, sched_arg, imgs, labs, cols,
+                    jax.random.fold_in(rng, offset), latent_stats,
+                )
+                return st, loss
+
+            return _nested_scan(body, state, (idx, offsets), steps_per_epoch)
+
+        return jax.jit(epochs_fn, donate_argnums=(0,))
+
+    enc_vae = vae
+    enc_dtype = getattr(cfg, "encode_dtype", None)
+    if enc_dtype is not None and enc_dtype != "float32":
+        enc_vae = vae.clone(dtype=getattr(jnp, enc_dtype))
+    encode = make_latent_encode_fn(enc_vae)
+    if getattr(cfg, "train_kernel", False):
+        from flowerdiff.kernels.train_step import (
+            kernel_supported,
+            make_kernel_denoise_body,
+        )
+
+        if not kernel_supported(model):
+            raise ValueError(
+                "cfg.train_kernel=True requires a shared_cond_proj "
+                "single-condition variant (v1/v2); use the XLA path for v3"
+            )
+        denoise = make_kernel_denoise_body(
+            model, cfg, dtype=getattr(jnp, cfg.train_kernel_dtype)
+        )
+    else:
+        denoise = make_latent_denoise_body(model, cfg)
+    # epoch-encode path: augment rows WITHOUT the per-row mesh constraint
+    # (vmapped); the flat epoch batch is constrained once below.
+    gather_row = _make_gather(augment, max_rotation_deg, jitter, mesh=None)
+
     def epochs_fn(state, vae_params, sched_arg, images_u8, labels_all,
                   colors_all, idx, offsets, rng, data_key, latent_stats):
-        def body(carry, xs):
-            st = carry
-            idx_row, offset = xs
-            imgs = gather(images_u8, idx_row, data_key, offset)
-            labs = _take_sharded(labels_all, idx_row, mesh)
-            cols = _take_sharded(colors_all, idx_row, mesh) if has_colors else None
-            st, loss = step_body(
-                st, vae_params, sched_arg, imgs, labs, cols,
-                jax.random.fold_in(rng, offset), latent_stats,
-            )
-            return st, loss
+        t = idx.shape[0]
+        if t % steps_per_epoch != 0:
+            raise ValueError(f"T={t} not a multiple of steps={steps_per_epoch}")
+        e = t // steps_per_epoch
+        bsz = idx.shape[1]
+        idx_n = idx.reshape(e, steps_per_epoch, bsz)
+        off_n = offsets.reshape(e, steps_per_epoch)
 
-        return _nested_scan(body, state, (idx, offsets), steps_per_epoch)
+        def outer(st, xs_e):
+            idx_e, off_e = xs_e
+            # Per-row RNG: identical derivation to the per-step path —
+            # fold_in(fold_in(rng, offset), state.step) with state.step
+            # advancing by one per row within the epoch.
+            row_steps = st.step + jnp.arange(steps_per_epoch, dtype=jnp.asarray(st.step).dtype)
+
+            def row_keys_fn(o, s):
+                return jax.random.split(
+                    jax.random.fold_in(jax.random.fold_in(rng, o), s), 4
+                )
+
+            row_keys = jax.vmap(row_keys_fn)(off_e, row_steps)  # (S, 4) keys
+
+            imgs_rows = jax.vmap(
+                lambda ir, o: gather_row(images_u8, ir, data_key, o)
+            )(idx_e, off_e)  # (S, B, H, W, C) float
+            flat = imgs_rows.reshape((steps_per_epoch * bsz,) + imgs_rows.shape[2:])
+            if mesh is not None:
+                flat = jax.lax.with_sharding_constraint(
+                    flat, NamedSharding(mesh, P("data", None, None, None))
+                )
+            z_flat_rows = lambda z: z.reshape(steps_per_epoch, bsz, -1)
+            # ONE whole-epoch frozen encode; per-row reparameterization keys.
+            mu_lv = enc_vae.apply(
+                {"params": vae_params}, flat,
+                method=type(enc_vae).encode_with_params,
+            )
+            mu = z_flat_rows(mu_lv[0].astype(jnp.float32))
+            logvar = z_flat_rows(mu_lv[1].astype(jnp.float32))
+
+            def reparam_row(k, m, lv):
+                from flowerdiff.models.vae import FlowerVAE as _V
+                return _V.reparameterize(k, m, lv)
+
+            z = jax.vmap(reparam_row)(row_keys[:, 0], mu, logvar)
+            z = jax.lax.stop_gradient(z)
+            if latent_stats is not None:
+                mean, std = latent_stats
+                z = (z - mean) / std
+            if mesh is not None:
+                z = jax.lax.with_sharding_constraint(
+                    z, NamedSharding(mesh, P(None, "data", None))
+                )
+
+            labs_rows = jax.vmap(lambda ir: jnp.take(labels_all, ir, axis=0))(idx_e)
+            cols_rows = (
+                jax.vmap(lambda ir: jnp.take(colors_all, ir, axis=0))(idx_e)
+                if has_colors else None
+            )
+
+            def inner(st2, xs):
+                if has_colors:
+                    z_r, labs_r, cols_r, keys_r = xs
+                else:
+                    z_r, labs_r, keys_r = xs
+                    cols_r = None
+                if mesh is not None:
+                    z_r = jax.lax.with_sharding_constraint(
+                        z_r, NamedSharding(mesh, P("data", None))
+                    )
+                    labs_r = jax.lax.with_sharding_constraint(
+                        labs_r, NamedSharding(mesh, P("data"))
+                    )
+                    if cols_r is not None:
+                        cols_r = jax.lax.with_sharding_constraint(
+                            cols_r, NamedSharding(mesh, P("data"))
+                        )
+                return denoise(st2, sched_arg, z_r, labs_r, cols_r,
+                               keys_r[1], keys_r[2], keys_r[3])
+
+            xs_in = ((z, labs_rows, cols_rows, row_keys) if has_colors
+                     else (z, labs_rows, row_keys))
+            return jax.lax.scan(inner, st, xs_in)
+
+        state, losses = jax.lax.scan(outer, state, (idx_n, off_n))
+        return state, losses.reshape(t)
 
     return jax.jit(epochs_fn, donate_argnums=(0,))
 

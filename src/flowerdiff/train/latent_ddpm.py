@@ -75,6 +75,27 @@ class LatentDiffusionConfig:
     # accuracy at shallow horizons, ~nil at saturation). None = off (exact
     # reference semantics). When set, sampling uses the EMA weights.
     ema_decay: Optional[float] = None
+    # Fused-epoch restructure: encode the whole epoch's augmented images
+    # through the frozen VAE in ONE batched call per epoch instead of per
+    # step (train/fused.py make_fused_latent_epochs). Per-sample semantics
+    # identical (same augment + reparameterization keys); the per-step b64
+    # encode runs ~37% MFU vs 45-65% at epoch batch
+    # (artifacts/decompose_latent_r4.json).
+    epoch_encode: bool = False
+    # Compute dtype for the frozen encoder in the epoch_encode path only
+    # ('bfloat16' measured 57% vs 42% MFU at epoch batch); None keeps the
+    # VAE's own dtype. The posterior noise draw stays float32 either way.
+    encode_dtype: Optional[str] = None
+    # Fused Pallas forward+backward train kernel (kernels/train_step.py):
+    # runs the whole denoiser objective (q_sample, embeddings, hourglass,
+    # dropout, loss, backward) as ONE VMEM-resident kernel; optimizer stays
+    # the optax chain. Requires epoch_encode and a shared_cond_proj
+    # single-condition variant (v1/v2); timestep/noise draws match the XLA
+    # step bitwise, dropout masks are an equivalent-but-different stream.
+    train_kernel: bool = False
+    # Matmul operand dtype inside the train kernel ('bfloat16' fast path;
+    # 'float32' matches the XLA step numerically — test lane).
+    train_kernel_dtype: str = "bfloat16"
 
 
 class EMATrainState(TrainState):
@@ -144,41 +165,45 @@ def create_latent_diffusion_state(
     return state, model, sched
 
 
-def make_latent_diffusion_step_body(
-    model: ConditionalLatentDenoiser,
-    vae: FlowerVAE,
-    sched: DiffusionSchedule,
-    cfg: LatentDiffusionConfig,
-):
-    """UN-jitted step (traceable; jitted standalone by
-    make_latent_diffusion_step, or scanned by train/fused.py):
-    step(state, vae_params, images, labels[, colors], rng) -> (state, loss).
+def make_latent_encode_fn(vae: FlowerVAE):
+    """Frozen-VAE posterior draw (v1:1257-1259) as a standalone traceable fn:
+    encode(vae_params, images, enc_rng, latent_stats) -> z (stop-gradient,
+    z-scored when latent_stats is given). mu/logvar are cast to float32
+    BEFORE the reparameterization so a reduced-precision encoder (the fused
+    epoch path's bf16 option) changes only conv compute precision, never the
+    noise draw's dtype/stream."""
 
-    vae_params are an argument (not a closure constant) so the frozen encoder
-    weights live in HBM once and the step never recompiles when they change.
-    """
-
-    def step(state: TrainState, vae_params, sched_arg, images, labels, colors,
-             rng, latent_stats=None):
-        # the schedule tables arrive as ARGUMENTS: on the axon platform,
-        # programs with embedded array constants pay a large per-call penalty
-        rng = jax.random.fold_in(rng, state.step)
-        enc_rng, loss_rng, drop_rng, cfg_rng = jax.random.split(rng, 4)
-
-        # Frozen-VAE latent encode (v1:1257-1259) — no grads flow.
+    def encode(vae_params, images, enc_rng, latent_stats=None):
         mu, logvar = vae.apply(
             {"params": vae_params}, images, method=FlowerVAE.encode_with_params
         )
+        mu = mu.astype(jnp.float32)
+        logvar = logvar.astype(jnp.float32)
         z = FlowerVAE.reparameterize(enc_rng, mu, logvar)
         z = jax.lax.stop_gradient(z)
         if latent_stats is not None:
             mean, std = latent_stats
             z = (z - mean) / std
+        return z
 
+    return encode
+
+
+def make_latent_denoise_body(
+    model: ConditionalLatentDenoiser, cfg: LatentDiffusionConfig
+):
+    """The trainable half of the latent step, on a PRE-ENCODED latent batch:
+    denoise(state, sched_arg, z, labels, colors, loss_rng, drop_rng, cfg_rng)
+    -> (state, loss). Split out of make_latent_diffusion_step_body so the
+    fused epoch path can batch the frozen encode once per epoch and scan
+    only this part per step."""
+
+    def denoise(state: TrainState, sched_arg, z, labels, colors,
+                loss_rng, drop_rng, cfg_rng):
         cond_mask = None
         if cfg.cond_dropout > 0.0:
             keep = jax.random.bernoulli(
-                cfg_rng, 1.0 - cfg.cond_dropout, (images.shape[0],)
+                cfg_rng, 1.0 - cfg.cond_dropout, (z.shape[0],)
             )
             cond_mask = keep.astype(jnp.float32)
 
@@ -197,6 +222,35 @@ def make_latent_diffusion_step_body(
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss
+
+    return denoise
+
+
+def make_latent_diffusion_step_body(
+    model: ConditionalLatentDenoiser,
+    vae: FlowerVAE,
+    sched: DiffusionSchedule,
+    cfg: LatentDiffusionConfig,
+):
+    """UN-jitted step (traceable; jitted standalone by
+    make_latent_diffusion_step, or scanned by train/fused.py):
+    step(state, vae_params, images, labels[, colors], rng) -> (state, loss).
+
+    vae_params are an argument (not a closure constant) so the frozen encoder
+    weights live in HBM once and the step never recompiles when they change.
+    """
+    encode = make_latent_encode_fn(vae)
+    denoise = make_latent_denoise_body(model, cfg)
+
+    def step(state: TrainState, vae_params, sched_arg, images, labels, colors,
+             rng, latent_stats=None):
+        # the schedule tables arrive as ARGUMENTS: on the axon platform,
+        # programs with embedded array constants pay a large per-call penalty
+        rng = jax.random.fold_in(rng, state.step)
+        enc_rng, loss_rng, drop_rng, cfg_rng = jax.random.split(rng, 4)
+        z = encode(vae_params, images, enc_rng, latent_stats)
+        return denoise(state, sched_arg, z, labels, colors,
+                       loss_rng, drop_rng, cfg_rng)
 
     return step
 

@@ -126,6 +126,148 @@ def test_fused_latent_epochs_match_loop():
     _tree_close(state_f.params, state_l.params)
 
 
+def test_fused_latent_epoch_encode_matches_loop():
+    """epoch_encode=True batches the frozen-VAE encode once per epoch; the
+    per-sample semantics (augment keys, reparameterization keys off
+    state.step, denoiser math) are unchanged, so it must match the per-step
+    loop to conv-batching tolerance. Exercises EMA + cond_dropout so the
+    cfg_rng/drop_rng row-key plumbing is pinned too."""
+    ds = _dataset()
+    cfg = LatentDiffusionConfig(
+        latent_dim=8, hidden_dims=(16, 16), time_emb_dim=8, num_classes=5,
+        steps_per_epoch=N // B, n_steps=50, cond_dropout=0.2, ema_decay=0.99,
+        epoch_encode=True,
+    )
+    rng = jax.random.key(0)
+    state, model, sched = create_latent_diffusion_state(rng, cfg)
+    state_l = jax.tree.map(jnp.copy, state)
+
+    vae_cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=10,
+    )
+    vstate, vae, _ = create_vae_gan_state(jax.random.key(1), vae_cfg, img_size=H)
+    vae_params = vstate.gen.params
+
+    steps = N // B
+    idx, offsets, _ = epoch_rows(0, N, B, epochs=2)
+    step_rng, data_key = jax.random.key(2), jax.random.key(3)
+
+    fused = make_fused_latent_epochs(
+        model, vae, sched, cfg, steps_per_epoch=steps, epoch_encode=True
+    )
+    state_f, losses_f = fused(
+        state, vae_params, sched, ds.images, ds.labels, None, idx, offsets,
+        step_rng, data_key, None,
+    )
+
+    step = make_latent_diffusion_step(model, vae, sched, cfg)
+    losses_l = []
+    for r in range(idx.shape[0]):
+        imgs = _loop_gather(ds, idx[r], data_key, offsets[r])
+        labs = jnp.take(ds.labels, idx[r], axis=0)
+        state_l, loss = step(
+            state_l, vae_params, sched, imgs, labs, None,
+            jax.random.fold_in(step_rng, offsets[r]), None,
+        )
+        losses_l.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(losses_f), np.asarray(losses_l), rtol=1e-4, atol=1e-5
+    )
+    assert int(state_f.step) == int(state_l.step) == idx.shape[0]
+    _tree_close(state_f.params, state_l.params)
+    _tree_close(state_f.ema_params, state_l.ema_params)
+
+
+def test_fused_latent_epoch_encode_train_kernel_matches_loop():
+    """epoch_encode + the Pallas fwd+bwd train kernel (f32 matmuls,
+    dropout 0 so the mask streams cannot differ) must match the per-step
+    XLA loop: t/eps/CFG keys are derived identically by construction."""
+    ds = _dataset()
+    cfg = LatentDiffusionConfig(
+        latent_dim=8, hidden_dims=(16, 16), time_emb_dim=8, num_classes=5,
+        steps_per_epoch=N // B, n_steps=50, dropout_rate=0.0,
+        cond_dropout=0.2, epoch_encode=True, train_kernel=True,
+        train_kernel_dtype="float32",
+    )
+    rng = jax.random.key(0)
+    state, model, sched = create_latent_diffusion_state(rng, cfg)
+    state_l = jax.tree.map(jnp.copy, state)
+
+    vae_cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=10,
+    )
+    vstate, vae, _ = create_vae_gan_state(jax.random.key(1), vae_cfg, img_size=H)
+    vae_params = vstate.gen.params
+
+    steps = N // B
+    idx, offsets, _ = epoch_rows(0, N, B, epochs=2)
+    step_rng, data_key = jax.random.key(2), jax.random.key(3)
+
+    fused = make_fused_latent_epochs(model, vae, sched, cfg,
+                                     steps_per_epoch=steps)
+    state_f, losses_f = fused(
+        state, vae_params, sched, ds.images, ds.labels, None, idx, offsets,
+        step_rng, data_key, None,
+    )
+
+    step = make_latent_diffusion_step(model, vae, sched, cfg)
+    losses_l = []
+    for r in range(idx.shape[0]):
+        imgs = _loop_gather(ds, idx[r], data_key, offsets[r])
+        labs = jnp.take(ds.labels, idx[r], axis=0)
+        state_l, loss = step(
+            state_l, vae_params, sched, imgs, labs, None,
+            jax.random.fold_in(step_rng, offsets[r]), None,
+        )
+        losses_l.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(losses_f), np.asarray(losses_l), rtol=1e-4, atol=1e-5
+    )
+    _tree_close(state_f.params, state_l.params, rtol=2e-3, atol=2e-5)
+
+
+def test_fused_latent_epoch_encode_bf16_tracks_f32():
+    """encode_dtype='bfloat16' only relaxes the frozen encoder's conv
+    precision: losses must track the f32 epoch-encode path loosely."""
+    ds = _dataset()
+    base = dict(
+        latent_dim=8, hidden_dims=(16, 16), time_emb_dim=8, num_classes=5,
+        steps_per_epoch=N // B, n_steps=50, epoch_encode=True,
+    )
+    rng = jax.random.key(0)
+    cfg32 = LatentDiffusionConfig(**base)
+    cfg16 = LatentDiffusionConfig(**base, encode_dtype="bfloat16")
+    state, model, sched = create_latent_diffusion_state(rng, cfg32)
+    state16 = jax.tree.map(jnp.copy, state)
+
+    vae_cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=10,
+    )
+    vstate, vae, _ = create_vae_gan_state(jax.random.key(1), vae_cfg, img_size=H)
+    vae_params = vstate.gen.params
+
+    steps = N // B
+    idx, offsets, _ = epoch_rows(0, N, B, epochs=2)
+    step_rng, data_key = jax.random.key(2), jax.random.key(3)
+
+    f32 = make_fused_latent_epochs(model, vae, sched, cfg32,
+                                   steps_per_epoch=steps)
+    _, losses32 = f32(state, vae_params, sched, ds.images, ds.labels, None,
+                      idx, offsets, step_rng, data_key, None)
+    f16 = make_fused_latent_epochs(model, vae, sched, cfg16,
+                                   steps_per_epoch=steps)
+    _, losses16 = f16(state16, vae_params, sched, ds.images, ds.labels, None,
+                      idx, offsets, step_rng, data_key, None)
+    np.testing.assert_allclose(
+        np.asarray(losses32), np.asarray(losses16), rtol=0.05, atol=0.05
+    )
+
+
 def test_nested_scan_matches_flat_rows():
     """steps_per_epoch > 1 (the production nesting) visits the identical row
     sequence as the degenerate inner-length-1 nesting: same losses, same
@@ -458,6 +600,45 @@ def test_fused_latent_chunk_matches_under_mesh():
     state_m, losses_m = meshed(state_m, vae_params, sched, ds_mesh.images,
                                ds_mesh.labels, None, idx, offsets, step_rng,
                                data_key, None)
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_m),
+                               rtol=5e-5, atol=1e-6)
+    _tree_close(state.params, state_m.params, rtol=5e-4, atol=1e-5)
+
+
+def test_fused_pixel_chunk_matches_under_mesh():
+    """Same check for the PIXEL-family fused chunk — the third code path
+    `--mesh_data N` drives (runner.py:386-389 wires mesh= into
+    PixelDiffusionTrainer.run_epochs_fused). The only 2-D-conv trainer must
+    also match single-placement under a DP mesh (VERDICT r3 item 4)."""
+    from flowerdiff.parallel import create_mesh
+
+    mesh = create_mesh(model=1)
+    NB = 16
+    r = np.random.default_rng(7)
+    images = r.integers(0, 256, (NB, H, H, 3), dtype=np.uint8)
+    labels = r.integers(0, 5, (NB,), dtype=np.int64)
+    ds = DeviceDataset(images, labels)
+    ds_mesh = DeviceDataset(images, labels, mesh=mesh)
+
+    cfg = PixelDiffusionConfig(img_size=H, base_channels=8, time_emb_dim=8,
+                               n_steps=50, learnable_residual=True)
+    state, model, sched = create_pixel_diffusion_state(jax.random.key(0), cfg)
+    state_m = jax.tree.map(jnp.copy, state)
+
+    epochs, bsz = 2, 8
+    steps = NB // bsz
+    idx, offsets, _ = epoch_rows(8, NB, bsz, epochs=epochs)
+    step_rng, data_key = jax.random.key(2), jax.random.key(3)
+
+    plain = make_fused_pixel_epochs(model, cfg, steps_per_epoch=steps)
+    state, losses = plain(state, sched, ds.images, idx, offsets, step_rng,
+                          data_key)
+
+    meshed = make_fused_pixel_epochs(model, cfg, mesh=mesh,
+                                     steps_per_epoch=steps)
+    state_m, losses_m = meshed(state_m, sched, ds_mesh.images, idx, offsets,
+                               step_rng, data_key)
 
     np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_m),
                                rtol=5e-5, atol=1e-6)

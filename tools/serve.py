@@ -50,12 +50,16 @@ def add_service_args(ap: argparse.ArgumentParser) -> None:
                     help="bucket ladder; pixel presets (v4/v5) default to "
                          "4,16,64 unless overridden")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--no_quantize", action="store_true",
+                    help="keep f32 device->host image transfers (default: "
+                         "on-device uint8 quantization, 4x fewer D2H bytes)")
 
 
 def build_service(args):
     from flowerdiff.serving import pixel_service_from_run, service_from_run
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
+    quantize = not getattr(args, "no_quantize", False)
     if args.version in ("v4", "v5"):
         return pixel_service_from_run(
             args.results_dir, version=args.version, seed=args.seed,
@@ -63,6 +67,7 @@ def build_service(args):
             ddim_steps=args.ddim_steps,
             buckets=buckets if args.buckets != ap_default_buckets()
             else (4, 16, 64),
+            quantize_uint8=quantize,
         )
     return service_from_run(
         args.results_dir, version=args.version,
@@ -70,6 +75,7 @@ def build_service(args):
         cond_dropout=args.cond_dropout, ema_decay=args.ema_decay,
         guidance_scale=args.guidance_scale, sampler_kind=args.sampler,
         ddim_steps=args.ddim_steps, buckets=buckets,
+        quantize_uint8=quantize,
     )
 
 
