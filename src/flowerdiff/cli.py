@@ -62,6 +62,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-step EMA of the denoiser weights; sampling "
                         "uses the EMA copy (lever study: "
                         "artifacts/cond_sweep_r3)")
+    p.add_argument("--latent_cache", type=int, default=None,
+                   help="latent-cache training: pool of K frozen-VAE "
+                        "posterior draws per image; epochs become denoiser-"
+                        "only (measured ~4x epoch speedup; augment variety "
+                        "is K draws per refresh instead of fresh per epoch)")
+    p.add_argument("--cache_refresh_epochs", type=int, default=None,
+                   help="rebuild the latent cache with fresh augmentation "
+                        "draws every R epochs (default 0 = never)")
+    p.add_argument("--train_kernel", action="store_true",
+                   help="fused Pallas forward+backward train kernel for the "
+                        "latent denoiser (kernels/train_step.py; v1/v2 "
+                        "variants, single chip)")
     p.add_argument("--sampler", default=None, choices=["ancestral", "ddim"],
                    help="sampling mode for grids/sweeps: ancestral (the "
                         "reference's 1000 steps, default) or ddim")
@@ -154,11 +166,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         )
     cfg_flags_given = (
         args.cond_dropout is not None or args.guidance_scale is not None
-        or args.ema_decay is not None
+        or args.ema_decay is not None or args.latent_cache is not None
+        or args.cache_refresh_epochs is not None or args.train_kernel
     )
     if cfg_flags_given and preset.latent is None:
         print(
-            f"warning: --cond_dropout/--guidance_scale/--ema_decay ignored — "
+            f"warning: --cond_dropout/--guidance_scale/--ema_decay/"
+            f"--latent_cache/--train_kernel ignored — "
             f"preset {args.version} has no latent-diffusion stage "
             f"(pixel-space DDPM)"
         )
@@ -175,6 +189,17 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 ema_decay=(args.ema_decay
                            if args.ema_decay is not None
                            else preset.latent.ema_decay),
+                latent_cache=(args.latent_cache
+                              if args.latent_cache is not None
+                              else preset.latent.latent_cache),
+                cache_refresh_epochs=(
+                    args.cache_refresh_epochs
+                    if args.cache_refresh_epochs is not None
+                    else preset.latent.cache_refresh_epochs),
+                train_kernel=(args.train_kernel
+                              or preset.latent.train_kernel),
+                encode_dtype=("bfloat16" if args.latent_cache
+                              else preset.latent.encode_dtype),
             ),
         )
     if args.raw_latents:

@@ -245,7 +245,7 @@ def make_fused_latent_epochs(
     if getattr(cfg, "train_kernel", False):
         if not epoch_encode:
             raise ValueError("cfg.train_kernel=True requires epoch_encode")
-        if mesh is not None:
+        if mesh is not None and mesh.devices.size > 1:
             raise ValueError(
                 "cfg.train_kernel is the single-chip fast path; multi-chip "
                 "training uses the XLA step body (pallas_call does not "
@@ -385,6 +385,126 @@ def make_fused_latent_epochs(
 
         state, losses = jax.lax.scan(outer, state, (idx_n, off_n))
         return state, losses.reshape(t)
+
+    return jax.jit(epochs_fn, donate_argnums=(0,))
+
+
+def make_latent_cache_builder(
+    vae: FlowerVAE,
+    cfg: LatentDiffusionConfig,
+    augment: bool = True,
+    max_rotation_deg: float = 10.0,
+    jitter: float = 0.2,
+    chunk: int = 255,
+):
+    """builder(vae_params, images_u8, rng, latent_stats) -> (K, N, latent)
+    pool of frozen-VAE posterior draws, slot k holding one fresh
+    augmentation+reparameterization draw of the WHOLE dataset.
+
+    The dataset is encoded in `chunk`-sized pieces inside a scan (the
+    rotation-augment einsum materializes a (B, H, W, H, C) intermediate, so
+    whole-dataset batches blow past VMEM-friendly sizes). One dispatch
+    builds all K slots. cfg.encode_dtype='bfloat16' applies (the pool and
+    the noise draw stay f32 — make_latent_encode_fn)."""
+    from flowerdiff.train.latent_ddpm import make_latent_encode_fn
+
+    K = cfg.latent_cache
+    assert K > 0, "latent_cache must be > 0 for the cached path"
+    enc_vae = vae
+    enc_dtype = getattr(cfg, "encode_dtype", None)
+    if enc_dtype is not None and enc_dtype != "float32":
+        enc_vae = vae.clone(dtype=getattr(jnp, enc_dtype))
+    encode = make_latent_encode_fn(enc_vae)
+    augment_fn = make_augment_fn(max_rotation_deg, jitter) if augment else None
+
+    def builder(vae_params, images_u8, rng, latent_stats=None):
+        n = images_u8.shape[0]
+        steps = -(-n // chunk)
+        pad = steps * chunk - n
+        # wrap-pad so every chunk is full; duplicate tail rows overwrite
+        # identically-valued slots on reassembly (sliced off below).
+        idx_flat = jnp.arange(steps * chunk, dtype=jnp.int32) % n
+        idx_rows = idx_flat.reshape(steps, chunk)
+
+        def slot(carry, k):
+            def body(c, xs):
+                row_i, ir = xs
+                key = jax.random.fold_in(jax.random.fold_in(rng, k), row_i)
+                imgs = jnp.take(images_u8, ir, axis=0).astype(jnp.float32) / 255.0
+                if augment_fn is not None:
+                    a_key, e_key = jax.random.split(key)
+                    imgs = augment_fn(imgs, a_key)
+                else:
+                    e_key = key
+                z = encode(vae_params, imgs, e_key, latent_stats)
+                return c, z
+
+            _, zs = jax.lax.scan(
+                body, 0, (jnp.arange(steps, dtype=jnp.int32), idx_rows)
+            )
+            return carry, zs.reshape(steps * chunk, -1)[:n]
+
+        _, pool = jax.lax.scan(slot, 0, jnp.arange(K, dtype=jnp.int32))
+        del pad
+        return pool  # (K, N, latent)
+
+    return jax.jit(builder)
+
+
+def make_fused_cached_epochs(
+    model: ConditionalLatentDenoiser,
+    cfg: LatentDiffusionConfig,
+    has_colors: bool = False,
+    steps_per_epoch: int = 1,
+):
+    """fn(state, sched, z_pool (K,N,L), labels_all, colors_all, idx (T,B),
+    offsets (T,), rng, pool_rng) -> (state, losses (T,)).
+
+    The latent-cache training dispatch: per step, each sample draws a pool
+    slot uniformly (fold_in(pool_rng, offset) — fresh per batch, like the
+    augment keys) and the denoiser trains on the cached posterior draw. No
+    VAE in the program: the epoch is denoiser-only (the reference's frozen
+    encode, v1:1257-1259, is amortized into the cache builder). Uses the
+    Pallas train kernel when cfg.train_kernel (single-chip fast path)."""
+    from flowerdiff.train.latent_ddpm import make_latent_denoise_body
+
+    K = cfg.latent_cache
+    assert K > 0
+    if getattr(cfg, "train_kernel", False):
+        from flowerdiff.kernels.train_step import (
+            kernel_supported,
+            make_kernel_denoise_body,
+        )
+
+        assert kernel_supported(model), "train_kernel: v1/v2 variants only"
+        denoise = make_kernel_denoise_body(
+            model, cfg, dtype=getattr(jnp, cfg.train_kernel_dtype)
+        )
+    else:
+        denoise = make_latent_denoise_body(model, cfg)
+
+    def epochs_fn(state, sched_arg, z_pool, labels_all, colors_all, idx,
+                  offsets, rng, pool_rng):
+        n = z_pool.shape[1]
+        pool_flat = z_pool.reshape(-1, z_pool.shape[-1])  # (K*N, L)
+
+        def body(st, xs):
+            idx_row, offset = xs
+            slot = jax.random.randint(
+                jax.random.fold_in(pool_rng, offset), idx_row.shape, 0, K
+            )
+            z_r = jnp.take(pool_flat, slot * n + idx_row, axis=0)
+            labs = jnp.take(labels_all, idx_row, axis=0)
+            cols = (jnp.take(colors_all, idx_row, axis=0)
+                    if has_colors else None)
+            step_key = jax.random.fold_in(
+                jax.random.fold_in(rng, offset), st.step
+            )
+            _, loss_rng, drop_rng, cfg_rng = jax.random.split(step_key, 4)
+            return denoise(st, sched_arg, z_r, labs, cols,
+                           loss_rng, drop_rng, cfg_rng)
+
+        return _nested_scan(body, state, (idx, offsets), steps_per_epoch)
 
     return jax.jit(epochs_fn, donate_argnums=(0,))
 

@@ -96,6 +96,20 @@ class LatentDiffusionConfig:
     # Matmul operand dtype inside the train kernel ('bfloat16' fast path;
     # 'float32' matches the XLA step numerically — test lane).
     train_kernel_dtype: str = "bfloat16"
+    # Latent cache: the VAE is FROZEN during diffusion training
+    # (v1:1257-1259), so its posterior draws can be precomputed. K>0 keeps a
+    # pool of K augmented encodes per image on device ((K, N, latent) — a
+    # few MB) and each epoch samples one pool slot per sample instead of
+    # re-encoding: the 159-of-164 GFLOP frozen encode leaves the epoch
+    # entirely (artifacts/decompose_latent_r4.json). Semantics change:
+    # augmentation variety per image is K draws (refreshed every
+    # cache_refresh_epochs) instead of one fresh draw per epoch — an
+    # opt-in speed/variety trade the reference cannot express; quality
+    # validated in artifacts (see BASELINE.md round 4). 0 = off.
+    latent_cache: int = 0
+    # Rebuild the cache with fresh augmentation draws every R epochs
+    # (0 = build once). Amortized refresh cost: ~K*21ms/R at reference size.
+    cache_refresh_epochs: int = 0
 
 
 class EMATrainState(TrainState):
@@ -284,6 +298,9 @@ class LatentDiffusionTrainer:
             )
         self._step = make_latent_diffusion_step(self.model, vae, self.sched, cfg)
         self._fused = {}  # (T, B, augment) -> jitted multi-epoch fn
+        self._z_pool = None  # latent-cache pool (cfg.latent_cache > 0)
+        self._pool_age = 0  # epochs trained since the pool was built
+        self._pool_builds = 0
 
     def run_epoch(self, batches, vae_params, rng: jax.Array) -> float:
         total, count = None, 0
@@ -305,10 +322,23 @@ class LatentDiffusionTrainer:
                          rng: jax.Array, batch_size: int = 64, mesh=None):
         """Train `epochs` epochs in ONE device dispatch (train/fused.py).
         `dataset` is a data.DeviceDataset (with colors for the v3 preset).
-        Returns per-epoch mean losses (one host fetch for the chunk)."""
+        Returns per-epoch mean losses (one host fetch for the chunk).
+
+        With cfg.latent_cache > 0 this routes to the latent-cache path
+        (run_epochs_cached): denoiser-only epochs over a pool of frozen-VAE
+        posterior draws, refreshed every cfg.cache_refresh_epochs."""
         import numpy as np
 
         from flowerdiff.train.fused import epoch_rows, make_fused_latent_epochs
+
+        if self.cfg.latent_cache > 0:
+            # a 1x1 mesh is how the runner spells "single chip" — allowed
+            if mesh is not None and mesh.devices.size > 1:
+                raise ValueError(
+                    "latent_cache is the single-chip fast path; use the "
+                    "uncached fused path under a multi-device mesh")
+            return self.run_epochs_cached(dataset, epochs, vae_params, rng,
+                                          batch_size=batch_size)
 
         host_seed = int(jax.random.randint(
             jax.random.fold_in(rng, 1), (), 0, 2**31 - 1
@@ -333,6 +363,73 @@ class LatentDiffusionTrainer:
         )
         losses = np.asarray(jax.device_get(losses)).reshape(epochs, steps)
         return losses.mean(axis=1).tolist()
+
+    def run_epochs_cached(self, dataset, epochs: int, vae_params,
+                          rng: jax.Array, batch_size: int = 64):
+        """Latent-cache training (cfg.latent_cache = K pool slots): the
+        frozen-VAE encode leaves the epoch entirely — denoiser-only fused
+        dispatches over cached posterior draws, pool refreshed with fresh
+        augmentation draws every cfg.cache_refresh_epochs (0 = never).
+        Returns per-epoch mean losses like run_epochs_fused."""
+        import numpy as np
+
+        from flowerdiff.train.fused import (
+            epoch_rows,
+            make_fused_cached_epochs,
+            make_latent_cache_builder,
+        )
+
+        cfg = self.cfg
+        has_colors = cfg.num_colors is not None
+        refresh = cfg.cache_refresh_epochs
+        if "cache_builder" not in self._fused:
+            self._fused["cache_builder"] = make_latent_cache_builder(
+                self.vae, cfg, augment=dataset.augment_enabled,
+                max_rotation_deg=dataset.max_rotation_deg,
+                jitter=dataset.jitter,
+            )
+        builder = self._fused["cache_builder"]
+
+        losses_out = []
+        done = 0
+        while done < epochs:
+            if self._z_pool is None or (refresh > 0
+                                        and self._pool_age >= refresh):
+                self._z_pool = builder(
+                    vae_params, dataset.images,
+                    jax.random.fold_in(jax.random.fold_in(rng, 7),
+                                       self._pool_builds),
+                    self.latent_stats,
+                )
+                self._pool_age = 0
+                self._pool_builds += 1
+            take = epochs - done
+            if refresh > 0:
+                take = min(take, refresh - self._pool_age)
+
+            host_seed = int(jax.random.randint(
+                jax.random.fold_in(jax.random.fold_in(rng, 1), done),
+                (), 0, 2**31 - 1))
+            idx, offsets, steps = epoch_rows(host_seed, dataset.n,
+                                             batch_size, take)
+            key = ("cached", idx.shape[0], idx.shape[1], steps)
+            if key not in self._fused:
+                self._fused[key] = make_fused_cached_epochs(
+                    self.model, cfg, has_colors=has_colors,
+                    steps_per_epoch=steps,
+                )
+            step_rng, pool_rng = jax.random.split(
+                jax.random.fold_in(jax.random.fold_in(rng, 2), done))
+            self.state, losses = self._fused[key](
+                self.state, self.sched, self._z_pool, dataset.labels,
+                dataset.colors if has_colors else None, idx, offsets,
+                step_rng, pool_rng,
+            )
+            losses = np.asarray(jax.device_get(losses)).reshape(take, steps)
+            losses_out.extend(losses.mean(axis=1).tolist())
+            done += take
+            self._pool_age += take
+        return losses_out
 
     @property
     def sampling_params(self):

@@ -268,6 +268,70 @@ def test_fused_latent_epoch_encode_bf16_tracks_f32():
     )
 
 
+def test_latent_cache_builder_and_cached_epochs():
+    """Latent-cache path (cfg.latent_cache): builder emits a (K, N, L) pool
+    of distinct posterior draws; cached training is deterministic in rng,
+    decreases the loss, and advances step/EMA exactly like the loop."""
+    from flowerdiff.train.fused import make_latent_cache_builder
+
+    ds = _dataset()
+    cfg = LatentDiffusionConfig(
+        latent_dim=8, hidden_dims=(16, 16), time_emb_dim=8, num_classes=5,
+        steps_per_epoch=N // B, n_steps=50, ema_decay=0.99,
+        latent_cache=2, cache_refresh_epochs=3,
+    )
+    vae_cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=10,
+    )
+    vstate, vae, _ = create_vae_gan_state(jax.random.key(1), vae_cfg, img_size=H)
+    vae_params = vstate.gen.params
+
+    builder = make_latent_cache_builder(vae, cfg, augment=True, chunk=5)
+    pool = builder(vae_params, ds.images, jax.random.key(9), None)
+    assert pool.shape == (2, N, 8)
+    # distinct augment+reparam draws per slot
+    assert not np.allclose(np.asarray(pool[0]), np.asarray(pool[1]))
+
+    def run(seed):
+        tr = LatentDiffusionTrainer(cfg, vae, jax.random.key(0))
+        losses = tr.run_epochs_fused(ds, 7, vae_params, jax.random.key(seed),
+                                     batch_size=B)
+        return tr, losses
+
+    tr1, losses1 = run(5)
+    tr2, losses2 = run(5)
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-6)
+    assert len(losses1) == 7
+    assert int(tr1.state.step) == 7 * (N // B)
+    assert tr1._pool_builds == 3  # epochs 0-2, 3-5, 6 (refresh_every=3)
+    assert tr1.state.ema_params is not None
+    # training moves the loss down on this fixed tiny problem
+    tr3 = LatentDiffusionTrainer(cfg, vae, jax.random.key(0))
+    more = tr3.run_epochs_fused(ds, 30, vae_params, jax.random.key(5),
+                                batch_size=B)
+    assert np.mean(more[-5:]) < np.mean(more[:5])
+
+
+def test_latent_cache_with_train_kernel():
+    """cached path + the Pallas train kernel (interpret mode on CPU)."""
+    ds = _dataset()
+    cfg = LatentDiffusionConfig(
+        latent_dim=8, hidden_dims=(16, 16), time_emb_dim=8, num_classes=5,
+        steps_per_epoch=N // B, n_steps=50,
+        latent_cache=2, train_kernel=True, train_kernel_dtype="float32",
+    )
+    vae_cfg = VAEGANConfig(
+        latent_dim=8, channels=(8, 16, 24, 32), head_width=32, num_classes=5,
+        use_perceptual=False, total_steps=10,
+    )
+    vstate, vae, _ = create_vae_gan_state(jax.random.key(1), vae_cfg, img_size=H)
+    tr = LatentDiffusionTrainer(cfg, vae, jax.random.key(0))
+    losses = tr.run_epochs_fused(ds, 4, vstate.gen.params, jax.random.key(5),
+                                 batch_size=B)
+    assert len(losses) == 4 and all(np.isfinite(losses))
+
+
 def test_nested_scan_matches_flat_rows():
     """steps_per_epoch > 1 (the production nesting) visits the identical row
     sequence as the degenerate inner-length-1 nesting: same losses, same

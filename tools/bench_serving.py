@@ -89,13 +89,22 @@ def main():
 
     try:
         # --- device ceiling: one direct call with every row ---------------
+        # The timed call folds the key: the axon relay memoizes identical
+        # execute requests, so re-timing the warm call's exact arguments
+        # reports transfer-free fantasy numbers.
         classes = jax.numpy.arange(total_rows, dtype=jax.numpy.int32) \
             % num_classes
         key = jax.random.key(7)
         service.sample(classes, key)  # warm the exact request plan
         t0 = time.perf_counter()
-        service.sample(classes, key)  # np.ndarray return: already synced
+        service.sample(classes, jax.random.fold_in(key, 1))
         device_s = time.perf_counter() - t0
+
+        # breakdown: sampling-only ceiling (no decode, no image D2H)
+        service.sample_latents(classes, key)
+        t0 = time.perf_counter()
+        service.sample_latents(classes, jax.random.fold_in(key, 2))
+        latents_s = time.perf_counter() - t0
 
         # --- serial floor: one client, back-to-back small requests --------
         body = {"classes": list(range(rows)), "format": args.format}
@@ -146,6 +155,8 @@ def main():
         "value": round(total_rows / burst_s, 2),
         "unit": "images/sec",
         "device_ceiling_img_s": round(total_rows / device_s, 2),
+        "latents_only_ceiling_img_s": round(total_rows / latents_s, 2),
+        "quantize_uint8": bool(getattr(service, "quantize_uint8", False)),
         "serial_http_img_s": round(total_rows / serial_s, 2),
         "coalescing_speedup_vs_serial": round(serial_s / burst_s, 2),
         "fraction_of_device_ceiling": round(device_s / burst_s, 4),

@@ -38,18 +38,29 @@ def main():
                     help="must match the training run when probing an EMA "
                          "checkpoint (restore structure contains ema_params); "
                          "sampling then uses the EMA weights")
-    ap.add_argument("--scales", default="1,3,5,7,9,12,15")
+    ap.add_argument("--scales", default="1,3,5,7,9,12,15,20")
+    ap.add_argument("--ddim_steps", type=int, default=50,
+                    help="also evaluate a DDIM arm with this many steps "
+                         "per guidance scale (0 = ancestral only)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     from flowerdiff.configs import get_preset, tiny_preset
-    from flowerdiff.diffusion.api import DiffusionSampler, NormalizedSampler
+    from flowerdiff.diffusion.api import (
+        DDIMSampler,
+        DiffusionSampler,
+        NormalizedSampler,
+    )
     from flowerdiff.models.vae import FlowerVAE
+    from flowerdiff.models.vgg import (
+        IMAGENET_MEAN, IMAGENET_STD, VGGFeatures, load_vgg_params,
+    )
     from flowerdiff.runner import PipelineRunner
     from flowerdiff.train.checkpoints import CheckpointManager
     from flowerdiff.utils.quality import (
         classifier_accuracy_on_samples,
+        frechet_distance,
         latent_mmd,
     )
 
@@ -85,27 +96,53 @@ def main():
                           method=FlowerVAE.encode_with_params)
         return mu
 
+    decode_jit = jax.jit(
+        lambda p, z: vae.apply({"params": p}, z, method=FlowerVAE.decode))
+    vgg_model = VGGFeatures()
+    vgg_params, _ = load_vgg_params()
+
+    @jax.jit
+    def pooled_feats(p, x):
+        f = vgg_model.apply(
+            p, (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD))
+        return jnp.mean(f, axis=(1, 2))
+
+    import numpy as np
+
     real = encode_mu(vae_params, runner.test_images[:256])
+    real_feats = np.asarray(pooled_feats(vgg_params, runner.test_images[:256]))
     lcfg = diff.cfg
+    arms = [("ancestral", None)]
+    if args.ddim_steps > 0:
+        arms.append(("ddim", args.ddim_steps))
     rows = []
     for s in [float(x) for x in args.scales.split(",")]:
         g = None if s <= 1.0 else s
-        sampler = DiffusionSampler(
-            diff.model, {"params": diff.sampling_params}, diff.sched,
-            (lcfg.latent_dim,), clip_x0=lcfg.clip_denoised, guidance_scale=g)
-        if diff.latent_stats is not None:
-            sampler = NormalizedSampler(sampler, *diff.latent_stats)
-        rng = jax.random.key(args.seed + 7)
-        acc26 = classifier_accuracy_on_samples(
-            sampler, classify, rng, 102, n_per_class=4, max_classes=26)
-        acc102 = classifier_accuracy_on_samples(
-            sampler, classify, rng, 102, n_per_class=4, max_classes=102)
-        classes = jnp.repeat(jnp.arange(26, dtype=jnp.int32), 4)
-        gen = sampler.sample(jax.random.fold_in(rng, 1), 104, classes)
-        row = {"guidance": s, "acc26": acc26, "acc102": acc102,
-               "latent_mmd_heldout": float(latent_mmd(real, gen))}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+        for arm, nsteps in arms:
+            sampler = DiffusionSampler(
+                diff.model, {"params": diff.sampling_params}, diff.sched,
+                (lcfg.latent_dim,), clip_x0=lcfg.clip_denoised,
+                guidance_scale=g)
+            if diff.latent_stats is not None:
+                sampler = NormalizedSampler(sampler, *diff.latent_stats)
+            if arm == "ddim":
+                sampler = DDIMSampler(sampler, num_steps=nsteps)
+            rng = jax.random.key(args.seed + 7)
+            acc26 = classifier_accuracy_on_samples(
+                sampler, classify, rng, 102, n_per_class=4, max_classes=26)
+            acc102 = classifier_accuracy_on_samples(
+                sampler, classify, rng, 102, n_per_class=4, max_classes=102)
+            classes = jnp.repeat(jnp.arange(26, dtype=jnp.int32), 4)
+            gen = sampler.sample(jax.random.fold_in(rng, 1), 104, classes)
+            gen_feats = np.asarray(
+                pooled_feats(vgg_params, decode_jit(vae_params, gen)))
+            row = {"guidance": s, "sampler": arm, "acc26": acc26,
+                   "acc102": acc102,
+                   "latent_mmd_heldout": float(latent_mmd(real, gen)),
+                   "perceptual_fd_heldout": float(
+                       frechet_distance(real_feats, gen_feats))}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
 
     path = args.json or os.path.join(args.results_dir, "guidance_eval.json")
     with open(path, "w") as f:
