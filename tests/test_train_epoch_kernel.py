@@ -1,0 +1,168 @@
+"""Whole-epoch Pallas train kernel (kernels/train_epoch.py) equivalence.
+
+Test mode pins everything: timesteps/noise/masks enter as inputs drawn with
+the cached path's exact key scheme, matmuls run f32, and the in-kernel
+AdamW (clip -> scale_by_adam -> wd -> -lr, per-step LR/bias-correction
+tables) must reproduce a scan of XLA denoise steps — losses AND the full
+updated state (params, Adam moments, count), including the q/k weight-decay
+factor applied outside the kernel.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowerdiff.kernels.train_epoch import make_mega_epoch_fn
+from flowerdiff.kernels.train_step import _weights_spec  # noqa: F401
+from flowerdiff.train.latent_ddpm import (
+    LatentDiffusionConfig,
+    create_latent_diffusion_state,
+    make_latent_denoise_body,
+)
+
+B, S = 8, 3
+
+
+def _setup(**kw):
+    cfg = LatentDiffusionConfig(
+        latent_dim=16, hidden_dims=(32, 64, 32), time_emb_dim=16,
+        num_classes=7, n_steps=50, steps_per_epoch=S, **kw,
+    )
+    state, model, sched = create_latent_diffusion_state(jax.random.key(0), cfg)
+    z_rows = jax.random.normal(jax.random.key(1), (S, B, cfg.latent_dim))
+    labels = jax.random.randint(jax.random.key(2), (S, B), 0, cfg.num_classes)
+    return cfg, state, model, sched, z_rows, labels
+
+
+def _xla_epoch(cfg, model, state, sched, z_rows, labels, rng,
+               oracle="xla"):
+    """The cached path's per-step scan, in plain Python for the oracle.
+
+    oracle="xla": flax model + optax (only valid at dropout 0 — flax draws
+    its own masks). oracle="kernel": the per-step Pallas body (identical
+    external-mask scheme; itself pinned against flax in
+    tests/test_train_kernel.py)."""
+    if oracle == "kernel":
+        from flowerdiff.kernels.train_step import make_kernel_denoise_body
+        body = make_kernel_denoise_body(model, cfg, dtype=jnp.float32)
+    else:
+        body = make_latent_denoise_body(model, cfg)
+    losses = []
+    for i in range(S):
+        step_key = jax.random.fold_in(jax.random.fold_in(rng, i), state.step)
+        _, loss_rng, drop_rng, cfg_rng = jax.random.split(step_key, 4)
+        state, loss = body(state, sched, z_rows[i], labels[i], None,
+                           loss_rng, drop_rng, cfg_rng)
+        losses.append(float(loss))
+    return state, losses
+
+
+def _leaves_close(a, b, rtol, atol):
+    for (pa, xa), (_, xb) in zip(
+        jax.tree_util.tree_leaves_with_path(a),
+        jax.tree_util.tree_leaves_with_path(b),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(xa, np.float32), np.asarray(xb, np.float32),
+            rtol=rtol, atol=atol,
+            err_msg=f"leaf {jax.tree_util.keystr(pa)}",
+        )
+
+
+def _adam_of(state):
+    from flowerdiff.kernels.train_epoch import _adam_state
+    return _adam_state(state.opt_state)
+
+
+def test_mega_epoch_matches_xla_scan_no_dropout():
+    """dropout 0: no mask stream to disagree on -> the flax+optax scan is
+    the oracle (t/eps/CFG keys identical by construction)."""
+    cfg, state, model, sched, z_rows, labels = _setup(
+        dropout_rate=0.0, cond_dropout=0.2)
+    state_x = jax.tree.map(jnp.copy, state)
+
+    rng = jax.random.key(5)
+    mega = make_mega_epoch_fn(model, cfg, S, B, dtype=jnp.float32,
+                              stochastic=False)
+    s_k, losses_k = mega(state, sched, z_rows, labels, rng)
+    s_x, losses_x = _xla_epoch(cfg, model, state_x, sched, z_rows, labels,
+                               rng)
+
+    np.testing.assert_allclose(np.asarray(losses_k), np.asarray(losses_x),
+                               rtol=1e-4, atol=1e-5)
+    assert int(_adam_of(s_k).count) == int(_adam_of(s_x).count) == S
+    assert int(s_k.step) == int(s_x.step) == S
+    _leaves_close(s_k.params, s_x.params, rtol=2e-3, atol=2e-5)
+    _leaves_close(_adam_of(s_k).mu, _adam_of(s_x).mu, rtol=2e-3, atol=2e-5)
+    _leaves_close(_adam_of(s_k).nu, _adam_of(s_x).nu, rtol=2e-3, atol=1e-7)
+
+
+def test_mega_epoch_matches_kernel_scan_with_dropout():
+    """dropout 0.3: oracle is the per-step Pallas body, which shares the
+    external mask derivation (and is itself flax-pinned at dropout 0)."""
+    cfg, state, model, sched, z_rows, labels = _setup(
+        dropout_rate=0.3, cond_dropout=0.2)
+    state_x = jax.tree.map(jnp.copy, state)
+
+    rng = jax.random.key(5)
+    mega = make_mega_epoch_fn(model, cfg, S, B, dtype=jnp.float32,
+                              stochastic=False)
+    s_k, losses_k = mega(state, sched, z_rows, labels, rng)
+    s_x, losses_x = _xla_epoch(cfg, model, state_x, sched, z_rows, labels,
+                               rng, oracle="kernel")
+
+    np.testing.assert_allclose(np.asarray(losses_k), np.asarray(losses_x),
+                               rtol=1e-4, atol=1e-5)
+    assert int(_adam_of(s_k).count) == int(_adam_of(s_x).count) == S
+    assert int(s_k.step) == int(s_x.step) == S
+    _leaves_close(s_k.params, s_x.params, rtol=2e-3, atol=2e-5)
+    _leaves_close(_adam_of(s_k).mu, _adam_of(s_x).mu, rtol=2e-3, atol=2e-5)
+    _leaves_close(_adam_of(s_k).nu, _adam_of(s_x).nu, rtol=2e-3, atol=1e-7)
+
+
+def test_mega_epoch_qk_decay_matches():
+    """The q/k blocks never see gradients but DO see AdamW weight decay;
+    the outside factor must track optax exactly over an epoch."""
+    cfg, state, model, sched, z_rows, labels = _setup(
+        weight_decay=1e-2, dropout_rate=0.0)
+    qk0 = np.asarray(state.params["attn_0"]["qkv"]["kernel"][:, :64])
+    state_x = jax.tree.map(jnp.copy, state)
+    rng = jax.random.key(6)
+    mega = make_mega_epoch_fn(model, cfg, S, B, dtype=jnp.float32,
+                              stochastic=False)
+    s_k, _ = mega(state, sched, z_rows, labels, rng)
+    s_x, _ = _xla_epoch(cfg, model, state_x, sched, z_rows, labels, rng)
+    qk_k = np.asarray(s_k.params["attn_0"]["qkv"]["kernel"][:, :64])
+    qk_x = np.asarray(s_x.params["attn_0"]["qkv"]["kernel"][:, :64])
+    assert not np.allclose(qk_k, qk0)  # decay actually moved them
+    np.testing.assert_allclose(qk_k, qk_x, rtol=1e-5, atol=1e-8)
+
+
+import pytest
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="pltpu.prng_seed has no CPU interpret lowering (same gate as "
+           "tests/test_kernels.py stochastic PRNG; TPU lane: "
+           "tools/tpu_checks.py)",
+)
+def test_mega_epoch_stochastic_trains():
+    """Prod mode (in-kernel PRNG): finite losses that decrease over a few
+    epochs and an advancing count."""
+    cfg, state, model, sched, z_rows, labels = _setup(
+        dropout_rate=0.3, cond_dropout=0.1, ema_decay=0.99)
+    mega = make_mega_epoch_fn(model, cfg, S, B, dtype=jnp.float32,
+                              stochastic=True)
+    first = None
+    for e in range(12):
+        state, losses = mega(state, sched, z_rows, labels,
+                             jax.random.fold_in(jax.random.key(7), e))
+        assert np.all(np.isfinite(np.asarray(losses)))
+        if first is None:
+            first = float(np.mean(np.asarray(losses)))
+    last = float(np.mean(np.asarray(losses)))
+    assert last < first, (first, last)
+    assert state.ema_params is not None
+    assert int(state.step) == 12 * S
