@@ -73,7 +73,27 @@ V5 = VersionPreset(name="v5", vae=None, latent=None,
                    pixel=PixelDiffusionConfig(learnable_residual=True),
                    pixel_visualize_every=10)
 
-PRESETS = {p.name: p for p in (V1, V2, V3, V4, V5)}
+# The measured best-quality configuration (beyond-reference levers ON):
+# v1 width with CFG training, per-step weight EMA, latent-cache training
+# (4.2x epoch), the 30k-epoch horizon the cache makes ~12 minutes, and the
+# FD-aware guidance operating point g=5.0 — the knee of the round-4 sweep
+# (/root/runs/flagship_30k/guidance_eval.json, mirrored in
+# artifacts/flagship_r4/): acc102 0.755 at the BEST held-out MMD (0.103);
+# g=7 buys +0.05 accuracy for +51% perceptual FD, g>=9 buys <+0.03 for
+# 2-3x FD. Ancestral beats DDIM on every axis at this checkpoint.
+FLAGSHIP = VersionPreset(
+    name="flagship",
+    vae=VAEGANConfig(lambda_cls=0.3, lambda_center=0.1, lambda_vgg=0.4),
+    latent=_latent_cfg(
+        shared_cond_proj=True, global_skip=False,
+        cond_dropout=0.1, ema_decay=0.999, guidance_scale=5.0,
+        latent_cache=8, cache_refresh_epochs=50,
+        encode_dtype="bfloat16",
+    ),
+    total_epochs=30_000,
+)
+
+PRESETS = {p.name: p for p in (V1, V2, V3, V4, V5, FLAGSHIP)}
 
 
 def get_preset(name: str) -> VersionPreset:
