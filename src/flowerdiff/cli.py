@@ -22,8 +22,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="flowerdiff",
         description="TPU-native VAE-GAN + latent-diffusion for Oxford 102 Flowers",
     )
-    p.add_argument("--version", default="v1", choices=["v1", "v2", "v3", "v4", "v5"],
-                   help="reference-version preset (SURVEY.md §2.2)")
+    p.add_argument("--version", default="v1",
+                   choices=["v1", "v2", "v3", "v4", "v5", "flagship"],
+                   help="reference-version preset (SURVEY.md §2.2); "
+                        "'flagship' = v1 width with the measured best "
+                        "beyond-reference levers (configs.FLAGSHIP)")
     p.add_argument("--total_epochs", type=int, default=None,
                    help="diffusion training horizon (v1 default 10000, v1:1432)")
     p.add_argument("--checkpoint_path", default=None,

@@ -103,6 +103,17 @@ class SamplingService:
         self._decode_jit = jax.jit(_dec)
         self._decode = lambda z: self._decode_jit(self._vae_params, z)
 
+        # ONE-dispatch request pipeline: sample -> decode -> quantize as a
+        # single program per bucket. On the tunneled-chip deployment each
+        # dispatch costs a full round-trip; splitting sample and decode into
+        # two dispatches put ~2x the RTT on every chunk (measured in
+        # artifacts/serving_smoke/bench_serving_r4*.json).
+        def _pipe(vp, rng, *cond):
+            lat = self.sampler.sample(rng, int(cond[0].shape[0]), *cond)
+            return _dec(vp, lat)
+
+        self._pipe_jit = jax.jit(_pipe)
+
     def bucket_size(self, n: int) -> int:
         """Smallest bucket >= n (n <= the largest bucket)."""
         for b in self.buckets:
@@ -184,10 +195,14 @@ class SamplingService:
             cond = (cls_chunk,)
             if colors is not None:
                 cond = (cls_chunk, self._pad(colors[start:start + take], b))
-            latents = self.sampler.sample(jax.random.fold_in(rng, i), b, *cond)
             # Pad through sampling AND decode so both programs see bucket
             # shapes; slice each chunk back to its real size on the host.
-            out = self._decode(latents) if decode else latents
+            if decode:
+                out = self._pipe_jit(self._vae_params,
+                                     jax.random.fold_in(rng, i), *cond)
+            else:
+                out = self.sampler.sample(jax.random.fold_in(rng, i), b,
+                                          *cond)
             try:
                 out.copy_to_host_async()
             except AttributeError:  # non-jax array (tests with stub samplers)

@@ -103,7 +103,15 @@ def test_bucketing_reuses_one_program_across_request_sizes():
     service.sample_classes([0], n_per_class=2, rng=jax.random.key(4))  # n=2
     service.sample_classes([0, 1, 2], n_per_class=1, rng=jax.random.key(5))  # n=3
     service.sample_latents(jnp.array([1]), jax.random.key(6))  # n=1
-    assert seen == [4, 4, 4]
+    # decode requests ride the ONE-dispatch sample+decode pipeline
+    # (_pipe_jit): the sampler is invoked only when jit TRACES a new bucket
+    # shape, so two same-bucket decode requests record a single batch-4
+    # trace — the no-recompile property itself. The latents request calls
+    # the sampler eagerly (second 4).
+    assert seen == [4, 4]
+    # a third same-bucket decode request must not trace anything new
+    service.sample_classes([3], n_per_class=4, rng=jax.random.key(7))  # n=4
+    assert seen == [4, 4]
 
 
 def test_service_with_latent_stats_and_clip():
