@@ -130,6 +130,93 @@ def main():
     check("fused (bf16 kernel) vs XLA f32 deterministic scan, 1000 steps",
           rel_l2 < 0.05, f"relative L2 {rel_l2:.4f} over {sm_batch}x{latent}")
 
+    # ---- 4: fused train-step kernel grads vs XLA at reference width. ----
+    # SGD(1.0) states make updated params = params - grads, sidestepping
+    # Adam's sign-noise on near-zero grads.
+    import dataclasses
+
+    import optax
+    from flax.training.train_state import TrainState
+
+    from flowerdiff.kernels.train_step import make_kernel_denoise_body
+    from flowerdiff.train.latent_ddpm import (
+        LatentDiffusionConfig,
+        create_latent_diffusion_state,
+        make_latent_denoise_body,
+    )
+
+    cfg0 = LatentDiffusionConfig(dropout_rate=0.0)
+    state0, model0, sched0 = create_latent_diffusion_state(
+        jax.random.key(0), cfg0)
+    zb = jax.random.normal(jax.random.key(1), (64, 256))
+    labs = jnp.arange(64, dtype=jnp.int32) % 102
+    keys3 = jax.random.split(jax.random.key(3), 3)
+
+    def sgd_state():
+        return TrainState.create(
+            apply_fn=model0.apply,
+            params=jax.tree.map(jnp.copy, state0.params), tx=optax.sgd(1.0))
+
+    kern0 = make_kernel_denoise_body(model0, cfg0, dtype=jnp.float32,
+                                     interpret=False)
+    xla0 = jax.jit(make_latent_denoise_body(model0, cfg0))
+    s_k, loss_k = kern0(sgd_state(), sched0, zb, labs, None, *keys3)
+    s_x, loss_x = xla0(sgd_state(), sched0, zb, labs, None, *keys3)
+    worst = 0.0
+    for xa, xb in zip(jax.tree.leaves(s_k.params), jax.tree.leaves(s_x.params)):
+        d = float(jnp.max(jnp.abs(xa - xb)))
+        worst = max(worst, d)
+    check("train-step kernel (f32) grads vs XLA, reference width b64",
+          worst < 2e-3 and abs(float(loss_k) - float(loss_x)) < 1e-2,
+          f"max param-update |Δ| {worst:.2e}, loss {float(loss_k):.4f} vs "
+          f"{float(loss_x):.4f}")
+
+    # bf16 prod mode with dropout: finite + loss in family
+    cfg3 = LatentDiffusionConfig(dropout_rate=0.3, cond_dropout=0.1,
+                                 ema_decay=0.999)
+    state3, model3, _ = create_latent_diffusion_state(jax.random.key(0), cfg3)
+    kern3 = jax.jit(make_kernel_denoise_body(model3, cfg3,
+                                             dtype=jnp.bfloat16,
+                                             interpret=False),
+                    donate_argnums=(0,))
+    s3, l3 = kern3(state3, sched0, zb, labs, None, *keys3)
+    check("train-step kernel bf16+dropout runs at reference width",
+          bool(jnp.isfinite(l3)), f"loss {float(l3):.4f}")
+
+    # ---- 5: whole-epoch mega kernel — tiny width runs; reference width is
+    # a KNOWN VMEM boundary (BASELINE round 4). Flag if that ever changes.
+    from flowerdiff.kernels.train_epoch import make_mega_epoch_fn
+
+    cfg_t = LatentDiffusionConfig(latent_dim=32, hidden_dims=(64, 128, 64),
+                                  time_emb_dim=32, num_classes=16,
+                                  steps_per_epoch=4)
+    st_t, mdl_t, sch_t = create_latent_diffusion_state(jax.random.key(0),
+                                                       cfg_t)
+    mega_t = make_mega_epoch_fn(mdl_t, cfg_t, 4, 32, dtype=jnp.bfloat16,
+                                stochastic=True, interpret=False)
+    zt = jax.random.normal(jax.random.key(2), (4, 32, 32))
+    lt = jax.random.randint(jax.random.key(3), (4, 32), 0, 16)
+    st_t, losses_t = mega_t(st_t, sch_t, zt, lt, jax.random.key(4))
+    check("mega epoch kernel (tiny width, in-kernel AdamW+PRNG)",
+          bool(jnp.all(jnp.isfinite(losses_t))),
+          f"losses {[round(float(x), 3) for x in losses_t]}")
+
+    mega_r = make_mega_epoch_fn(model3, cfg3, 15, 64, dtype=jnp.bfloat16,
+                                stochastic=True, interpret=False)
+    try:
+        zr = jax.random.normal(jax.random.key(5), (15, 64, 256))
+        lr_ = jax.random.randint(jax.random.key(6), (15, 64), 0, 102)
+        _st, _lo = mega_r(jax.tree.map(jnp.copy, state3), sched0, zr, lr_,
+                          jax.random.key(7))
+        jax.block_until_ready(_lo)
+        print("[INFO] mega kernel NOW COMPILES at reference width — "
+              "update BASELINE round-4 VMEM note!", flush=True)
+    except Exception as exc:  # noqa: BLE001
+        msg = str(exc)
+        known = "vmem" in msg.lower() or "memory" in msg.lower()
+        check("mega kernel reference-width VMEM boundary is as documented",
+              known, f"{type(exc).__name__}: {msg[:120]}")
+
     print(f"\n{len(FAILURES)} failure(s)" if FAILURES else "\nall checks passed",
           flush=True)
     sys.exit(1 if FAILURES else 0)
