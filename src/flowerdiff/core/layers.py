@@ -15,6 +15,7 @@ chains XLA fuses into the surrounding convs.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -36,6 +37,50 @@ def swish(x: jax.Array) -> jax.Array:
     return jax.nn.silu(x)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ln2d_resident(x: jax.Array, weight: jax.Array, bias: jax.Array,
+                   eps: float) -> jax.Array:
+    """LayerNorm2d with compute-dtype-resident residuals.
+
+    Plain autodiff of the f32-statistics formula saves the FULL-SIZE f32
+    intermediates ((x32 - mean), the normalized tensor) for the backward —
+    at 64x64 batch 256 those dominate the HBM traffic of the "bf16" VAE-GAN
+    step. This custom vjp keeps the statistics math in f32 (per-(B,C)
+    scalars, cheap) but saves only the bf16 normalized tensor + the tiny
+    rsigma, and re-derives the standard LN backward
+        dx = rsigma * (g - mean_hw(g) - xn * mean_hw(g * xn)),  g = dy * w
+    from bf16 loads with f32 accumulation.
+    """
+    y, _ = _ln2d_resident_fwd(x, weight, bias, eps)
+    return y
+
+
+def _ln2d_resident_fwd(x, weight, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    rsigma = jax.lax.rsqrt(var + eps)
+    xn = ((x32 - mean) * rsigma).astype(x.dtype)  # the ONE big residual, bf16
+    y = xn * weight.astype(x.dtype) + bias.astype(x.dtype)
+    return y, (xn, rsigma, weight)
+
+
+def _ln2d_resident_bwd(eps, res, dy):
+    xn, rsigma, weight = res
+    dy32 = dy.astype(jnp.float32)
+    xn32 = xn.astype(jnp.float32)
+    dweight = jnp.sum(dy32 * xn32, axis=(0, 1, 2)).astype(weight.dtype)
+    dbias = jnp.sum(dy32, axis=(0, 1, 2)).astype(weight.dtype)
+    g = dy32 * weight  # (B,H,W,C), f32 math from bf16 loads
+    gm = jnp.mean(g, axis=(1, 2), keepdims=True)
+    gxn = jnp.mean(g * xn32, axis=(1, 2), keepdims=True)
+    dx = (rsigma * (g - gm - xn32 * gxn)).astype(xn.dtype)
+    return dx, dweight, dbias
+
+
+_ln2d_resident.defvjp(_ln2d_resident_fwd, _ln2d_resident_bwd)
+
+
 class LayerNorm2d(nn.Module):
     """Per-sample, per-channel normalization over the spatial dims.
 
@@ -55,6 +100,11 @@ class LayerNorm2d(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         weight = self.param("weight", nn.initializers.ones, (self.num_channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.num_channels,))
+        if self.dtype is not None and self.dtype != jnp.float32:
+            # bf16-resident path: f32 statistics, but the big saved residual
+            # and the output stay in the compute dtype (custom vjp above) —
+            # the HBM lever for the bandwidth-bound VAE-GAN step.
+            return _ln2d_resident(x.astype(self.dtype), weight, bias, self.eps)
         # statistics in float32 for stability regardless of compute dtype
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)

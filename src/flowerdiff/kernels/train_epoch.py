@@ -81,10 +81,18 @@ def _uniform(shape):
     return (bits & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (1.0 / (1 << 24))
 
 
+def _grad_is_bf16(k: str) -> bool:
+    """Leaves whose matmul operand (and hence vjp cotangent) is bf16 in the
+    bf16 fast path — must match rd() in the kernel body below."""
+    leaf = k.split(".")[-1]
+    return (leaf.startswith("w") and leaf != "wf") or k == "table"
+
+
 def _make_epoch_kernel(names, n_stages, hidden, heads, steps, batch,
                        n_steps_sched, num_classes, dtype, global_skip,
                        dropout_rate, cond_dropout, grad_clip, weight_decay,
-                       b1, b2, eps_adam, stochastic, n_mask_inputs):
+                       b1, b2, eps_adam, stochastic, n_mask_inputs,
+                       grad_scratch):
     n_names = len(names)
 
     def kernel(*refs):
@@ -109,6 +117,12 @@ def _make_epoch_kernel(names, n_stages, hidden, heads, steps, batch,
         w_out = {k: next(it) for k in names}
         m_out = {k: next(it) for k in names}
         v_out = {k: next(it) for k in names}
+        # grad-parking scratch (the reference-width VMEM fix): one explicit
+        # VMEM buffer per leaf ends each vjp cotangent's SSA live range at
+        # a store, instead of keeping all 76 grads alive as vregs through
+        # the unrolled AdamW chain — the allocator spill slots (59.6 MB at
+        # reference width) were what pushed 174.5M > 128M VMEM.
+        g_scratch = {k: next(it) for k in names} if grad_scratch else None
 
         if stochastic:
             pltpu.prng_seed(seed_ref[0, 0])
@@ -186,11 +200,9 @@ def _make_epoch_kernel(names, n_stages, hidden, heads, steps, batch,
             # (documented; the f32 test lane reads f32).
             if dtype == jnp.bfloat16:
                 def rd(k, r):
-                    leaf = k.split(".")[-1]
                     # "wf" stays f32: the epsilon head computes in f32
-                    big = ((leaf.startswith("w") and leaf != "wf")
-                           or k == "table")
-                    return r[:].astype(jnp.bfloat16) if big else r[:]
+                    return (r[:].astype(jnp.bfloat16)
+                            if _grad_is_bf16(k) else r[:])
                 named_w = {k: rd(k, r) for k, r in w_refs.items()}
             else:
                 named_w = {k: r[:] for k, r in w_refs.items()}
@@ -203,10 +215,25 @@ def _make_epoch_kernel(names, n_stages, hidden, heads, steps, batch,
             loss, vjp = jax.vjp(loss_fn, named_w)
             (grads,) = vjp(jnp.float32(1.0))
 
+            if grad_scratch:
+                # park every cotangent in VMEM scratch immediately; the
+                # norm + update below re-load per leaf (exact: same-dtype
+                # store/load roundtrip), so no grad value stays live as a
+                # vreg across the whole unrolled chain
+                for k in names:
+                    g_scratch[k][:] = grads[k]
+                grads = {k: None for k in names}
+
+                def _g(k):
+                    return g_scratch[k][:].astype(jnp.float32)
+            else:
+                def _g(k):
+                    return grads[k].astype(jnp.float32)
+
             # clip_by_global_norm(grad_clip), f32
             sq = jnp.float32(0.0)
             for k in names:
-                g = grads[k].astype(jnp.float32)
+                g = _g(k)
                 sq = sq + jnp.sum(g * g)
             gnorm = jnp.sqrt(sq)
             cscale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-16))
@@ -215,7 +242,7 @@ def _make_epoch_kernel(names, n_stages, hidden, heads, steps, batch,
             bc1 = bc1_ref[i, 0]
             bc2 = bc2_ref[i, 0]
             for k in names:
-                g = grads[k].astype(jnp.float32) * cscale
+                g = _g(k) * cscale
                 # moments may be bf16-resident (moments_dtype — the VMEM
                 # lever: w+m+v f32 = 90 MB did not fit); math stays f32
                 m_new = b1 * m_refs[k][:].astype(jnp.float32) + (1.0 - b1) * g
@@ -273,7 +300,8 @@ def make_mega_epoch_fn(model: ConditionalLatentDenoiser, cfg,
                        dtype: Any = jnp.bfloat16,
                        stochastic: bool = True,
                        interpret: bool | None = None,
-                       moments_dtype: Any = None):
+                       moments_dtype: Any = None,
+                       grad_scratch: bool = True):
     """fn(state, sched_arg, z_rows (S,B,L), labels (S,B), rng)
     -> (state', losses (S,)) — one whole epoch per pallas_call, Adam state
     VMEM-resident, for the latent-cache path. See module docstring."""
@@ -386,10 +414,20 @@ def make_mega_epoch_fn(model: ConditionalLatentDenoiser, cfg,
             names, n_stages, hidden, heads, S, B, int(sched_arg.n_steps),
             model.num_classes, dtype, model.global_skip,
             model.dropout_rate, cfg.cond_dropout, cfg.grad_clip,
-            cfg.weight_decay, b1, b2, eps_adam, stochastic, n_mask_inputs)
+            cfg.weight_decay, b1, b2, eps_adam, stochastic, n_mask_inputs,
+            grad_scratch)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args[1:]
         ]
+        scratch_shapes = []
+        if grad_scratch:
+            # one VMEM grad buffer per leaf, in the cotangent's dtype (bf16
+            # for the bf16-read matmul weights: halves the parking cost)
+            for j, k in enumerate(names):
+                gdt = (jnp.bfloat16
+                       if dtype == jnp.bfloat16 and _grad_is_bf16(k)
+                       else jnp.float32)
+                scratch_shapes.append(pltpu.VMEM(w_in[j].shape, gdt))
         outs = pl.pallas_call(
             kernel,
             out_shape=out_shape,
@@ -397,6 +435,7 @@ def make_mega_epoch_fn(model: ConditionalLatentDenoiser, cfg,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)
                        for _ in out_shape],
             input_output_aliases=aliases,
+            scratch_shapes=scratch_shapes,
             interpret=interp,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=int(127 * 1024 * 1024),

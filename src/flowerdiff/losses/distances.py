@@ -13,7 +13,9 @@ import jax.numpy as jnp
 def euclidean_distance_loss(
     x: jax.Array, y: jax.Array, reduction: str = "mean"
 ) -> jax.Array:
-    diff = (x - y).reshape(x.shape[0], -1)
+    # accumulate in f32 regardless of input dtype (bf16 features would lose
+    # the sum's low bits); no-op for f32 inputs
+    diff = (x - y).reshape(x.shape[0], -1).astype(jnp.float32)
     dist = jnp.sqrt(jnp.sum(diff * diff, axis=1) + 1e-8)
     if reduction == "mean":
         return jnp.mean(dist)

@@ -49,7 +49,15 @@ DEFAULT_WEIGHTS_PATH = os.environ.get(
 
 
 class VGGFeatures(nn.Module):
-    """VGG16 features[:16] (through relu3_3), NHWC."""
+    """VGG16 features[:16] (through relu3_3), NHWC.
+
+    `dtype` is the compute dtype (params stay f32): the backbone is frozen,
+    so bf16 activations are a pure bandwidth/MXU win for the training-loss
+    path — the feature DISTANCE is still accumulated in f32
+    (losses/distances.py). Eval/quality tools keep the f32 default.
+    """
+
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -59,7 +67,8 @@ class VGGFeatures(nn.Module):
                 h = nn.max_pool(h, (2, 2), strides=(2, 2))
             else:
                 ch, name = item
-                h = nn.Conv(ch, (3, 3), padding="SAME", name=name)(h)
+                h = nn.Conv(ch, (3, 3), padding="SAME", name=name,
+                            dtype=self.dtype)(h)
                 h = nn.relu(h)
         return h
 

@@ -165,10 +165,19 @@ class SamplingService:
 
         return np.concatenate([arr, np.zeros((target - n,), arr.dtype)])
 
-    def _chunked(self, classes, colors, rng: jax.Array, decode: bool):
-        """Run the request as bucket-sized chunks (request_plan); each chunk
-        folds the request rng with its index so results are deterministic
-        for a given (rng, request).
+    def sample_async(self, classes, rng: jax.Array, colors=None,
+                     decode: bool = True):
+        """Phase 1 of a request: dispatch the request as bucket-sized chunks
+        (request_plan) and return a zero-argument ``fetch()`` that completes
+        phase 2 (host fetch + tail slicing). Each chunk folds the request
+        rng with its index so results are deterministic for a given
+        (rng, request).
+
+        The split exists so a caller that owns several requests — the HTTP
+        coalescing batcher — can DISPATCH window i+1 while window i's D2H
+        is still in flight (double-buffered serving): JAX dispatch is
+        async and copy_to_host_async starts the transfer eagerly, so the
+        only serialization point is the np.asarray in fetch().
 
         All request-shaping (slice / pad / tail concat) happens host-side in
         NumPy: only bucket-shaped programs ever reach the device, so
@@ -182,11 +191,11 @@ class SamplingService:
         if colors is not None:
             colors = np.asarray(colors, np.int32).reshape(-1)
         n = classes.shape[0]
-        # Phase 1 — dispatch EVERY chunk before fetching any: JAX dispatch
-        # is async, so chunk i's D2H transfer (started eagerly with
-        # copy_to_host_async) overlaps chunk i+1's sampling compute. The
-        # previous np.asarray-per-chunk forced a full sync between chunks —
-        # zero compute/transfer overlap on the tunneled-chip deployment.
+        # Dispatch EVERY chunk before fetching any: chunk i's D2H transfer
+        # (started eagerly with copy_to_host_async) overlaps chunk i+1's
+        # sampling compute. An np.asarray-per-chunk would force a full sync
+        # between chunks — zero compute/transfer overlap on the
+        # tunneled-chip deployment.
         pending = []
         start = 0
         for i, b in enumerate(self.request_plan(n)):
@@ -209,9 +218,16 @@ class SamplingService:
                 pass
             pending.append((out, take))
             start += take
-        # Phase 2 — fetch in order (transfers already in flight).
-        outs = [np.asarray(out)[:take] for out, take in pending]
-        return outs[0] if len(outs) == 1 else np.concatenate(outs)
+
+        def fetch():
+            # Phase 2 — fetch in order (transfers already in flight).
+            outs = [np.asarray(out)[:take] for out, take in pending]
+            return outs[0] if len(outs) == 1 else np.concatenate(outs)
+
+        return fetch
+
+    def _chunked(self, classes, colors, rng: jax.Array, decode: bool):
+        return self.sample_async(classes, rng, colors, decode=decode)()
 
     def sample(
         self,
@@ -402,6 +418,34 @@ class PixelSamplingService:
         n = int(np.asarray(classes).reshape(-1).shape[0])
         return self.sample_images(n, rng)
 
+    def sample_async(self, classes, rng: jax.Array, colors=None,
+                     decode: bool = True):
+        """Dispatch-now / fetch-later form of :meth:`sample` (same contract
+        as SamplingService.sample_async) — lets the HTTP batcher overlap
+        this window's D2H with the next window's sampling."""
+        import numpy as np
+
+        assert colors is None, "pixel family has no color conditioning"
+        assert decode, "pixel family has no latent space to return"
+        n = int(np.asarray(classes).reshape(-1).shape[0])
+        pending = []
+        start = 0
+        for i, b in enumerate(self.request_plan(n)):
+            take = min(b, n - start)
+            x = self._post(self.sampler.sample(jax.random.fold_in(rng, i), b))
+            try:
+                x.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append((x, take))
+            start += take
+
+        def fetch():
+            outs = [np.asarray(x)[:take] for x, take in pending]
+            return outs[0] if len(outs) == 1 else np.concatenate(outs)
+
+        return fetch
+
     def animate(self, rng: jax.Array, num_frames: int = 50, fps: int = 10,
                 label=None) -> bytes:
         """GIF bytes of one sampling trajectory — the serving form of
@@ -426,26 +470,12 @@ class PixelSamplingService:
     def sample_images(self, n: int, rng: jax.Array):
         """n images of shape (n, img_size, img_size, 3) in [0, 1] (clipped
         like the reference's display path, v4:282), as a host np.ndarray.
-        Tail slicing/concat stay host-side so only bucket-shaped programs
-        reach the device (same rationale as SamplingService._chunked)."""
+        The clip (and uint8 quantization when enabled) runs ON DEVICE; tail
+        slicing/concat stay host-side so only bucket-shaped programs reach
+        the device (same rationale as SamplingService.sample_async)."""
         import numpy as np
 
-        # Dispatch every chunk before fetching any (async D2H overlaps the
-        # next chunk's sampling — see SamplingService._chunked). The clip
-        # (and uint8 quantization when enabled) runs ON DEVICE.
-        pending = []
-        start = 0
-        for i, b in enumerate(self.request_plan(n)):
-            take = min(b, n - start)
-            x = self._post(self.sampler.sample(jax.random.fold_in(rng, i), b))
-            try:
-                x.copy_to_host_async()
-            except AttributeError:
-                pass
-            pending.append((x, take))
-            start += take
-        outs = [np.asarray(x)[:take] for x, take in pending]
-        return outs[0] if len(outs) == 1 else np.concatenate(outs)
+        return self.sample_async(np.zeros((n,), np.int32), rng)()
 
 
 def service_from_run(

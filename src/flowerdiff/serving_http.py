@@ -88,12 +88,21 @@ class CoalescingBatcher:
     colors x decode/latents) and run as ONE SamplingService call. Each
     caller gets back exactly its rows.
 
-    `autostart=False` runs no worker thread; call `drain_once()` manually —
+    The worker is DOUBLE-BUFFERED (round-4 serving lever): dispatching a
+    window and fetching its results are split across two threads connected
+    by a depth-`pipeline_depth` queue, so window i+1's sampling compute runs
+    on device while window i's D2H transfer + host fan-out are still in
+    flight. With the single serial worker the device idled for the full
+    fetch of every window — measured at ~43% of the pipelined device
+    ceiling under a 64-client burst (BASELINE.md round 4).
+
+    `autostart=False` runs no worker threads; call `drain_once()` manually —
     used by tests to make coalescing assertions deterministic.
     """
 
     def __init__(self, service, rng, max_wait_ms: float = 5.0,
-                 max_batch: int = 512, autostart: bool = True):
+                 max_batch: int = 512, autostart: bool = True,
+                 pipeline_depth: int = 2):
         import jax
 
         self.service = service
@@ -113,10 +122,21 @@ class CoalescingBatcher:
             "errors": 0,
         }
         self._worker = None
+        self._completer = None
         if autostart:
+            import queue
+
+            # bounded: at most `pipeline_depth` windows in flight gives
+            # backpressure (dispatching arbitrarily far ahead would pile
+            # device buffers + host RAM with no latency benefit)
+            self._completions = queue.Queue(maxsize=max(1, pipeline_depth))
             self._worker = threading.Thread(target=self._run, daemon=True,
                                             name="flowerdiff-batcher")
             self._worker.start()
+            self._completer = threading.Thread(
+                target=self._complete_loop, daemon=True,
+                name="flowerdiff-batcher-fetch")
+            self._completer.start()
 
     # -- client side ------------------------------------------------------
     def submit(self, classes, colors=None, decode=True,
@@ -156,6 +176,9 @@ class CoalescingBatcher:
             self._lock.notify_all()
         if self._worker is not None:
             self._worker.join(timeout=5.0)
+        if self._completer is not None:
+            self._completions.put(None)  # sentinel after the worker drained
+            self._completer.join(timeout=5.0)
 
     # -- worker side ------------------------------------------------------
     def _take_window(self) -> list[_Pending]:
@@ -190,38 +213,79 @@ class CoalescingBatcher:
                     if self._stopped and not self._queue:
                         return
                 continue
-            self._process(batch)
+            self._process(batch, pipelined=self._completer is not None)
 
-    def _process(self, batch: list[_Pending]):
+    def _dispatch_group(self, kind, items: list[_Pending]):
+        """Dispatch one merged group; returns a zero-arg fetch() or None on
+        a dispatch error (already surfaced to the callers)."""
+        _has_colors, decode = kind
+        classes = np.concatenate([p.classes for p in items])
+        colors = (np.concatenate([p.colors for p in items])
+                  if _has_colors else None)
+        with self._lock:
+            key = self._fold_in(self._rng, self._dispatch_counter)
+            self._dispatch_counter += 1
+            self.stats["dispatches"] += 1
+            self.stats["max_coalesced"] = max(self.stats["max_coalesced"],
+                                              len(items))
+        try:
+            if hasattr(self.service, "sample_async"):
+                return self.service.sample_async(classes, key, colors,
+                                                 decode=decode)
+            out = self.service.sample(classes, key, colors, decode=decode)
+            return lambda: out
+        except BaseException as exc:  # surface device errors per caller
+            self._fail_group(items, exc)
+            return None
+
+    def _fail_group(self, items: list[_Pending], exc: BaseException):
+        with self._lock:
+            self.stats["errors"] += 1
+        for p in items:
+            p.error = exc
+            p.done.set()
+
+    @staticmethod
+    def _distribute(items: list[_Pending], out: np.ndarray):
+        start = 0
+        for p in items:
+            n = p.classes.shape[0]
+            p.result = out[start:start + n]
+            start += n
+            p.done.set()
+
+    def _complete_loop(self):
+        """Fetch side of the double buffer: blocks on D2H + fans results out
+        to callers while the worker thread dispatches the next window."""
+        while True:
+            entry = self._completions.get()
+            if entry is None:
+                return
+            fetch, items = entry
+            try:
+                out = np.asarray(fetch())
+            except BaseException as exc:
+                self._fail_group(items, exc)
+                continue
+            self._distribute(items, out)
+
+    def _process(self, batch: list[_Pending], pipelined: bool = False):
         groups: dict[tuple, list[_Pending]] = {}
         for item in batch:
             groups.setdefault(item.kind, []).append(item)
-        for (_has_colors, decode), items in groups.items():
-            classes = np.concatenate([p.classes for p in items])
-            colors = (np.concatenate([p.colors for p in items])
-                      if _has_colors else None)
-            with self._lock:
-                key = self._fold_in(self._rng, self._dispatch_counter)
-                self._dispatch_counter += 1
-                self.stats["dispatches"] += 1
-                self.stats["max_coalesced"] = max(self.stats["max_coalesced"],
-                                                  len(items))
-            try:
-                out = np.asarray(
-                    self.service.sample(classes, key, colors, decode=decode))
-            except BaseException as exc:  # surface device errors per caller
-                with self._lock:
-                    self.stats["errors"] += 1
-                for p in items:
-                    p.error = exc
-                    p.done.set()
+        for kind, items in groups.items():
+            fetch = self._dispatch_group(kind, items)
+            if fetch is None:
                 continue
-            start = 0
-            for p in items:
-                n = p.classes.shape[0]
-                p.result = out[start:start + n]
-                start += n
-                p.done.set()
+            if pipelined:
+                self._completions.put((fetch, items))  # bounded: backpressure
+                continue
+            try:
+                out = np.asarray(fetch())
+            except BaseException as exc:
+                self._fail_group(items, exc)
+                continue
+            self._distribute(items, out)
 
 
 # ---------------------------------------------------------------------------

@@ -42,13 +42,13 @@ def test_batcher_coalesces_requests_into_one_dispatch():
     service = _tiny_service()
     batcher = CoalescingBatcher(service, jax.random.key(1), autostart=False)
     seen = []
-    orig = service.sample
+    orig = service.sample_async
 
     def spy(classes, key, colors=None, decode=True):
         seen.append(int(np.asarray(classes).shape[0]))
         return orig(classes, key, colors, decode=decode)
 
-    service.sample = spy
+    service.sample_async = spy
     results = {}
 
     def client(name, classes):
@@ -129,7 +129,7 @@ def test_batcher_propagates_errors_per_caller():
     def boom(*a, **k):
         raise RuntimeError("device exploded")
 
-    service.sample = boom
+    service.sample_async = boom
     err = {}
 
     def client():
@@ -148,6 +148,63 @@ def test_batcher_propagates_errors_per_caller():
     t.join(timeout=30)
     assert "device exploded" in str(err["exc"])
     assert batcher.stats["errors"] == 1
+
+
+def test_batcher_double_buffers_dispatch_ahead_of_fetch():
+    """The round-4 serving lever: window i+1 must DISPATCH while window i's
+    fetch (D2H) is still blocked — the old serial worker couldn't
+    (BASELINE.md round 4: burst sat at ~43% of the pipelined ceiling)."""
+    class _AsyncStub:
+        def __init__(self):
+            self.dispatched = []
+            self.release = threading.Event()
+
+        def sample_async(self, classes, key, colors=None, decode=True):
+            n = int(np.asarray(classes).shape[0])
+            self.dispatched.append(n)
+
+            def fetch():
+                assert self.release.wait(20), "fetch never released"
+                return np.zeros((n, 4, 4, 3), np.float32)
+
+            return fetch
+
+    stub = _AsyncStub()
+    batcher = CoalescingBatcher(stub, jax.random.key(7), max_wait_ms=1.0,
+                                autostart=True)
+    try:
+        results = {}
+
+        def client(i):
+            results[i] = batcher.submit([i, i + 1])
+
+        t0 = threading.Thread(target=client, args=(0,))
+        t0.start()
+        for _ in range(500):  # wait for window 0 to dispatch
+            if len(stub.dispatched) == 1:
+                break
+            threading.Event().wait(0.01)
+        assert len(stub.dispatched) == 1
+        # window 0's fetch is blocked on `release`; window 1 must still
+        # reach the device
+        t1 = threading.Thread(target=client, args=(2,))
+        t1.start()
+        for _ in range(500):
+            if len(stub.dispatched) == 2:
+                break
+            threading.Event().wait(0.01)
+        assert len(stub.dispatched) == 2, (
+            "second window did not dispatch while the first fetch was "
+            "in flight — batcher is serial again")
+        stub.release.set()
+        t0.join(timeout=20)
+        t1.join(timeout=20)
+        assert results[0].shape == (2, 4, 4, 3)
+        assert results[2].shape == (2, 4, 4, 3)
+        assert batcher.stats["dispatches"] == 2
+    finally:
+        stub.release.set()
+        batcher.stop()
 
 
 # ---------------------------------------------------------------------------
