@@ -75,18 +75,19 @@ V5 = VersionPreset(name="v5", vae=None, latent=None,
 
 # The measured best-quality configuration (beyond-reference levers ON):
 # v1 width with CFG training, per-step weight EMA, latent-cache training
-# (4.2x epoch), the 30k-epoch horizon the cache makes ~12 minutes, and the
-# FD-aware guidance operating point g=5.0 — the knee of the round-4 sweep
-# (/root/runs/flagship_30k/guidance_eval.json, mirrored in
-# artifacts/flagship_r4/): acc102 0.755 at the BEST held-out MMD (0.103);
-# g=7 buys +0.05 accuracy for +51% perceptual FD, g>=9 buys <+0.03 for
-# 2-3x FD. Ancestral beats DDIM on every axis at this checkpoint.
+# (4.2x epoch), the 30k-epoch horizon the cache makes ~5 minutes of chip
+# time, and the FD-aware guidance operating point g=7.0 — the knee of the
+# round-4 sweep (artifacts/flagship_r4/guidance_eval.json): acc102 0.848
+# at the sweep-BEST held-out MMD (0.1124) and FD within 15% of its
+# minimum; g=9 buys +0.03 accuracy for +10% MMD / +37% FD, g>=12 buys
+# nothing (accuracy saturates ~0.88) while FD runs away 2-4x. Ancestral
+# beats DDIM-50 on accuracy and MMD below g=12 at this checkpoint.
 FLAGSHIP = VersionPreset(
     name="flagship",
     vae=VAEGANConfig(lambda_cls=0.3, lambda_center=0.1, lambda_vgg=0.4),
     latent=_latent_cfg(
         shared_cond_proj=True, global_skip=False,
-        cond_dropout=0.1, ema_decay=0.999, guidance_scale=5.0,
+        cond_dropout=0.1, ema_decay=0.999, guidance_scale=7.0,
         latent_cache=8, cache_refresh_epochs=50,
         encode_dtype="bfloat16",
     ),
