@@ -113,6 +113,8 @@ class CoalescingBatcher:
         self._lock = threading.Condition()
         self._queue: list[_Pending] = []
         self._dispatch_counter = 0
+        self._inflight = 0  # dispatched windows not yet distributed
+        self.pipeline_depth = max(1, pipeline_depth)
         self._stopped = False
         self.stats = {
             "requests": 0,
@@ -183,16 +185,31 @@ class CoalescingBatcher:
     # -- worker side ------------------------------------------------------
     def _take_window(self) -> list[_Pending]:
         """Wait for at least one request, then hold the window open for
-        max_wait_ms (or until max_batch rows queue up)."""
+        max_wait_ms (or until max_batch rows queue up).
+
+        Busy-pipeline batching: while BOTH pipeline slots hold dispatched
+        windows, the device cannot accept this window anyway, so holding it
+        open past max_wait_ms is free — late arrivals (e.g. closed-loop
+        clients woken by the window that just completed) merge instead of
+        fragmenting into tiny trailing dispatches. The moment a slot frees
+        (the completer notifies), the normal max_wait_ms clock applies."""
         with self._lock:
             while not self._queue and not self._stopped:
                 self._lock.wait(timeout=0.1)
             if not self._queue:
                 return []
             deadline = time.monotonic() + self.max_wait_ms / 1e3
+            hard_deadline = time.monotonic() + 2.0  # safety cap
             while (sum(p.classes.shape[0] for p in self._queue) < self.max_batch
                    and not self._stopped):
-                remaining = deadline - time.monotonic()
+                now = time.monotonic()
+                if (self._completer is not None
+                        and self._inflight >= self.pipeline_depth):
+                    if now >= hard_deadline:
+                        break
+                    self._lock.wait(timeout=0.05)
+                    continue
+                remaining = deadline - now
                 if remaining <= 0:
                     break
                 self._lock.wait(timeout=remaining)
@@ -228,6 +245,7 @@ class CoalescingBatcher:
             self.stats["dispatches"] += 1
             self.stats["max_coalesced"] = max(self.stats["max_coalesced"],
                                               len(items))
+            self._inflight += 1
         try:
             if hasattr(self.service, "sample_async"):
                 return self.service.sample_async(classes, key, colors,
@@ -235,8 +253,14 @@ class CoalescingBatcher:
             out = self.service.sample(classes, key, colors, decode=decode)
             return lambda: out
         except BaseException as exc:  # surface device errors per caller
+            self._window_done()
             self._fail_group(items, exc)
             return None
+
+    def _window_done(self):
+        with self._lock:
+            self._inflight -= 1
+            self._lock.notify_all()  # wake a busy-pipeline window hold
 
     def _fail_group(self, items: list[_Pending], exc: BaseException):
         with self._lock:
@@ -265,9 +289,11 @@ class CoalescingBatcher:
             try:
                 out = np.asarray(fetch())
             except BaseException as exc:
+                self._window_done()
                 self._fail_group(items, exc)
                 continue
             self._distribute(items, out)
+            self._window_done()
 
     def _process(self, batch: list[_Pending], pipelined: bool = False):
         groups: dict[tuple, list[_Pending]] = {}
@@ -283,9 +309,11 @@ class CoalescingBatcher:
             try:
                 out = np.asarray(fetch())
             except BaseException as exc:
+                self._window_done()
                 self._fail_group(items, exc)
                 continue
             self._distribute(items, out)
+            self._window_done()
 
 
 # ---------------------------------------------------------------------------
