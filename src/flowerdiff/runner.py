@@ -222,10 +222,17 @@ class PipelineRunner:
                 if self.fused_epochs else None
             )
             ep_rng = np.random.default_rng(self.seed)
+            # Crash-recovery save cadence: --checkpoint_every when given,
+            # else the viz cadence (reference-shaped default). A full-state
+            # save is a ~1 GB D2H over the tunnel (~30-60 s); at the default
+            # 300-epoch cadence that is 4 saves across the 1200-epoch stage,
+            # and --checkpoint_every lets production runs pay fewer.
+            save_every = checkpoint_every or preset.vae_visualize_every
             epoch = 0
             while epoch < vae_epochs:
                 if self.fused_epochs:
-                    n = self._chunk_size(epoch, vae_epochs, preset.vae_visualize_every)
+                    n = self._chunk_size(epoch, vae_epochs,
+                                         preset.vae_visualize_every, save_every)
                     chunk, (best, maybe_epoch, best_state) = trainer.run_epochs_fused(
                         self.train_ds, epoch, vae_epochs, n,
                         jax.random.fold_in(vae_rng, epoch), batch_size,
@@ -268,12 +275,13 @@ class PipelineRunner:
                             jnp.copy, vae_gan_state_to_tree(trainer.state)
                         )
                 epoch += len(chunk)
-                if epoch % preset.vae_visualize_every == 0 or epoch == vae_epochs:
-                    if best_tree is not None:
-                        vae_ckpt.save(best_epoch, self._best_as_tree(
-                            best_tree, best_state))
-                    if cadence_viz:
-                        self._vae_viz(trainer, epoch)
+                if (epoch % save_every == 0 or epoch == vae_epochs) \
+                        and best_tree is not None:
+                    vae_ckpt.save(best_epoch, self._best_as_tree(
+                        best_tree, best_state))
+                if (epoch % preset.vae_visualize_every == 0
+                        or epoch == vae_epochs) and cadence_viz:
+                    self._vae_viz(trainer, epoch)
             if best_tree is not None:
                 vae_ckpt.save(best_epoch, self._best_as_tree(best_tree, best_state))
             vae_ckpt.save(vae_epochs, vae_gan_state_to_tree(trainer.state))
@@ -512,6 +520,10 @@ class PipelineRunner:
             extra_splits={"train": self.train_images_eval},
             decode_fn=lambda z: decode_jit(vae_params, z),
             feature_fn=lambda x: pooled_feats(vgg_params, x),
+            # FD comparability stamp (quality.check_fd_comparable): the
+            # backbone hash + this run's identity travel with the number.
+            feature_params=vgg_params,
+            run_id=os.path.abspath(self.results_dir),
         )
         print(
             "Sample quality: classifier acc "
@@ -530,6 +542,8 @@ class PipelineRunner:
         # two rows, one per evaluation split (one shared generation pass)
         shared = {k: report[k] for k in
                   ("classifier_accuracy", "chance_accuracy", "n_generated")}
+        shared.update({k: report[k] for k in ("fd_backbone", "fd_run_id")
+                       if k in report})
         rows = [
             {"split": "heldout", **shared, "latent_mmd": report["latent_mmd"],
              "perceptual_fd": report.get("perceptual_fd"),

@@ -145,6 +145,61 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     )
 
 
+def fd_stamp(feature_params=None, run_id: Optional[str] = None) -> dict:
+    """Comparability stamp for perceptual-FD numbers.
+
+    The substitute-backbone FD ranks operating points WITHIN one training
+    run (tools/fd_correlation.py: Spearman rho 0.7-0.8 vs the torch-VGG
+    reference axis) but the ranking does NOT transfer across independently
+    trained runs (commit b2eaa27's cross-run study). Every report that
+    emits an FD therefore carries:
+      - fd_backbone: hash of the feature-backbone parameters (which
+        perceptual space the number lives in), and
+      - fd_run_id: caller-supplied identity of the training run /
+        checkpoint the samples came from.
+    `check_fd_comparable` refuses deltas when either differs."""
+    import hashlib
+
+    stamp: dict = {}
+    if feature_params is not None:
+        h = hashlib.sha256()
+        for leaf in jax.tree.leaves(feature_params):
+            a = np.asarray(leaf)
+            h.update(str(a.shape).encode())
+            h.update(a.tobytes()[:4096])
+        stamp["fd_backbone"] = h.hexdigest()[:16]
+    if run_id is not None:
+        stamp["fd_run_id"] = str(run_id)
+    return stamp
+
+
+def check_fd_comparable(a: dict, b: dict, what: str = "FD comparison") -> bool:
+    """Guard an FD delta between two quality reports / sweep rows.
+
+    Returns True when the stamps say the numbers live in the same
+    perceptual space AND come from the same training run. Raises
+    ValueError on a cross-run or cross-backbone comparison — the
+    configuration tools/fd_correlation.py measured to be meaningless.
+    Unstamped reports (legacy) get a loud warning and False."""
+    import warnings
+
+    for key, label in (("fd_backbone", "feature backbone"),
+                       ("fd_run_id", "training run")):
+        va, vb = a.get(key), b.get(key)
+        if va is None or vb is None:
+            warnings.warn(
+                f"{what}: report(s) missing {key}; cross-run FD deltas are "
+                f"not meaningful (tools/fd_correlation.py) — stamp reports "
+                f"via quality.fd_stamp()", stacklevel=2)
+            return False
+        if va != vb:
+            raise ValueError(
+                f"{what}: refusing FD delta across different {label}s "
+                f"({va!r} vs {vb!r}); substitute-backbone FD is only valid "
+                f"WITHIN one run (tools/fd_correlation.py, commit b2eaa27)")
+    return True
+
+
 def perceptual_fd(
     feature_fn: Callable[[jax.Array], jax.Array],
     real_images: jax.Array,
@@ -176,6 +231,8 @@ def sample_quality_report(
     extra_splits: Optional[dict] = None,
     decode_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     feature_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    feature_params=None,
+    run_id: Optional[str] = None,
 ) -> dict:
     """The final-sweep quality bundle: classifier accuracy + MMD vs the
     encoded real-set latents. Returns plain-float dict for JSONL logging.
@@ -218,4 +275,7 @@ def sample_quality_report(
             report[f"perceptual_fd_{name}"] = frechet_distance(
                 np.asarray(feature_fn(extra[:max_real])), gen_feats
             )
+        # Comparability stamp: FD deltas are only meaningful within one
+        # run/backbone (see fd_stamp / check_fd_comparable).
+        report.update(fd_stamp(feature_params, run_id))
     return report

@@ -148,3 +148,52 @@ def test_sample_quality_report_perceptual_fd():
     # positive, and the two references score differently
     assert report["perceptual_fd"] > 0.0
     assert report["perceptual_fd"] != report["perceptual_fd_train"]
+
+
+def test_fd_stamp_and_comparability_guard():
+    """FD deltas are only valid within one run/backbone
+    (tools/fd_correlation.py): fd_stamp stamps reports, check_fd_comparable
+    passes same-run, raises cross-run/backbone, warns on unstamped."""
+    import pytest
+
+    from flowerdiff.utils.quality import check_fd_comparable, fd_stamp
+
+    p1 = {"w": jnp.ones((4, 4))}
+    p2 = {"w": jnp.ones((4, 4)) * 2}
+    a = {"perceptual_fd": 1.0, **fd_stamp(p1, "/runs/a")}
+    a2 = {"perceptual_fd": 2.0, **fd_stamp(p1, "/runs/a")}
+    assert check_fd_comparable(a, a2)
+
+    other_run = {"perceptual_fd": 3.0, **fd_stamp(p1, "/runs/b")}
+    with pytest.raises(ValueError, match="training run"):
+        check_fd_comparable(a, other_run)
+
+    other_backbone = {"perceptual_fd": 3.0, **fd_stamp(p2, "/runs/a")}
+    with pytest.raises(ValueError, match="backbone"):
+        check_fd_comparable(a, other_backbone)
+
+    with pytest.warns(UserWarning, match="fd_backbone"):
+        assert not check_fd_comparable(a, {"perceptual_fd": 9.0})
+
+
+def test_sample_quality_report_carries_fd_stamp():
+    imgs = jnp.zeros((16, 4, 4, 3))
+
+    def encode_mu(x):
+        return jnp.tile(jnp.arange(x.shape[0], dtype=jnp.float32)[:, None] % 5, (1, 8))
+
+    def decode(z):
+        return jnp.broadcast_to(z[:, 0][:, None, None, None], (z.shape[0], 4, 4, 3))
+
+    def feats(x):
+        return jnp.mean(x, axis=(1, 2))
+
+    fp = {"w": jnp.ones((3, 3))}
+    report = sample_quality_report(
+        _FakeSampler(), _classify, encode_mu, imgs, jax.random.key(1),
+        num_classes=5, n_per_class=2, max_classes=5, max_real=16,
+        decode_fn=decode, feature_fn=feats,
+        feature_params=fp, run_id="/runs/x",
+    )
+    assert report["fd_run_id"] == "/runs/x"
+    assert len(report["fd_backbone"]) == 16

@@ -145,8 +145,15 @@ def main():
             print(json.dumps(row), flush=True)
 
     path = args.json or os.path.join(args.results_dir, "guidance_eval.json")
+    # FD comparability stamp (utils/quality.py fd_stamp): this sweep's FD
+    # column is a WITHIN-run axis — tools/fd_correlation.py measured that
+    # substitute-backbone FD rankings do not transfer across independently
+    # trained runs, so downstream deltas must check these stamps
+    # (quality.check_fd_comparable) before comparing rows from two sweeps.
+    from flowerdiff.utils.quality import fd_stamp
+    stamp = fd_stamp(vgg_params, os.path.abspath(args.results_dir))
     with open(path, "w") as f:
-        json.dump({"ckpt_epoch": saved, "rows": rows}, f, indent=2)
+        json.dump({"ckpt_epoch": saved, **stamp, "rows": rows}, f, indent=2)
     print(f"wrote {path}")
 
 
