@@ -166,3 +166,41 @@ def test_mega_epoch_stochastic_trains():
     assert last < first, (first, last)
     assert state.ema_params is not None
     assert int(state.step) == 12 * S
+
+
+def test_mega_epoch_matches_at_medium_width_with_grad_scratch():
+    """Beyond-tiny-width equivalence (VERDICT r4 item 4): a 4x-wider model
+    than the tiny lane, grad-parking scratch ON (the reference-width VMEM
+    fix path), must still match the XLA scan exactly. Reference width
+    itself only compiles on the chip (tools/mega_epoch_probe.py)."""
+    cfg = LatentDiffusionConfig(
+        latent_dim=64, hidden_dims=(128, 256, 128), time_emb_dim=64,
+        num_classes=26, n_steps=100, steps_per_epoch=2, dropout_rate=0.0,
+        cond_dropout=0.1,
+    )
+    state, model, sched = create_latent_diffusion_state(jax.random.key(0), cfg)
+    z_rows = jax.random.normal(jax.random.key(1), (2, 16, cfg.latent_dim))
+    labels = jax.random.randint(jax.random.key(2), (2, 16), 0, cfg.num_classes)
+    state_x = jax.tree.map(jnp.copy, state)
+
+    rng = jax.random.key(5)
+    mega = make_mega_epoch_fn(model, cfg, 2, 16, dtype=jnp.float32,
+                              stochastic=False, grad_scratch=True)
+    s_k, losses_k = mega(state, sched, z_rows, labels, rng)
+
+    global S
+    S_saved = S
+    try:
+        S = 2  # _xla_epoch iterates range(S)
+        s_x, losses_x = _xla_epoch(cfg, model, state_x, sched, z_rows,
+                                   labels, rng)
+    finally:
+        S = S_saved
+
+    np.testing.assert_allclose(np.asarray(losses_k), np.asarray(losses_x),
+                               rtol=1e-4, atol=1e-5)
+    # atol 5e-4 (vs the tiny lane's 2e-5): at 4x width a handful of
+    # near-zero-v-hat elements amplify f32 accumulation-order differences
+    # through Adam's sqrt division (observed: 1/8192 elements at |d|=1.7e-4)
+    _leaves_close(s_k.params, s_x.params, rtol=2e-3, atol=5e-4)
+    _leaves_close(_adam_of(s_k).mu, _adam_of(s_x).mu, rtol=2e-3, atol=5e-4)

@@ -201,16 +201,21 @@ def main():
           bool(jnp.all(jnp.isfinite(losses_t))),
           f"losses {[round(float(x), 3) for x in losses_t]}")
 
+    # fresh state: state3 was DONATED to kern3 above (copying a donated
+    # tree raises "Array has been deleted" — caught by the r5 lane run)
+    state_m, _, _ = create_latent_diffusion_state(jax.random.key(0), cfg3)
     mega_r = make_mega_epoch_fn(model3, cfg3, 15, 64, dtype=jnp.bfloat16,
                                 stochastic=True, interpret=False)
     try:
         zr = jax.random.normal(jax.random.key(5), (15, 64, 256))
         lr_ = jax.random.randint(jax.random.key(6), (15, 64), 0, 102)
-        _st, _lo = mega_r(jax.tree.map(jnp.copy, state3), sched0, zr, lr_,
-                          jax.random.key(7))
+        _st, _lo = mega_r(state_m, sched0, zr, lr_, jax.random.key(7))
         jax.block_until_ready(_lo)
-        print("[INFO] mega kernel NOW COMPILES at reference width — "
-              "update BASELINE round-4 VMEM note!", flush=True)
+        check("mega epoch kernel at REFERENCE width (grad-scratch fix)",
+              bool(jnp.all(jnp.isfinite(_lo))),
+              f"compiles + runs; losses finite, first "
+              f"{[round(float(x), 3) for x in _lo[:3]]} "
+              f"(r4's 174.5MB VMEM overflow resolved by grad parking)")
     except Exception as exc:  # noqa: BLE001
         msg = str(exc)
         known = "vmem" in msg.lower() or "memory" in msg.lower()
