@@ -13,7 +13,9 @@ Differences by design:
 """
 from __future__ import annotations
 
+import contextlib
 import os
+import time
 from typing import Optional
 
 import jax
@@ -41,6 +43,45 @@ from flowerdiff.utils.image import psnr
 from flowerdiff import viz
 from flowerdiff.viz.grids import generate_pixel_samples_grid
 from flowerdiff.viz.animation import create_pixel_diffusion_animation
+
+
+class _StageClock:
+    """Wall-clock attribution for the long pipeline stages. The round-4
+    flagship spent ~25 of ~30 end-to-end minutes in the VAE-GAN stage with
+    no record of WHERE (BASELINE.md round-5 timing table); every stage now
+    prints one `[stage ...]` summary attributing its wall time to dispatch /
+    compile / checkpoint-save / viz buckets so regressions are diagnosable
+    from the run log alone."""
+
+    def __init__(self, stage: str):
+        self.stage = stage
+        self.t0 = time.perf_counter()
+        self.buckets: dict[str, float] = {}
+        self.first_dispatch: Optional[float] = None
+
+    @contextlib.contextmanager
+    def track(self, name: str):
+        t = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t
+            self.buckets[name] = self.buckets.get(name, 0.0) + dt
+            if name == "dispatch" and self.first_dispatch is None:
+                self.first_dispatch = dt
+
+    def done(self) -> float:
+        total = time.perf_counter() - self.t0
+        parts = ", ".join(
+            f"{k} {v:.1f}s" for k, v in
+            sorted(self.buckets.items(), key=lambda kv: -kv[1])
+        )
+        other = total - sum(self.buckets.values())
+        first = (f" (first dispatch incl. compile {self.first_dispatch:.1f}s)"
+                 if self.first_dispatch is not None else "")
+        print(f"[stage {self.stage}] {total:.1f}s total: {parts}, "
+              f"other {other:.1f}s{first}", flush=True)
+        return total
 
 
 class _CondAdapter:
@@ -210,9 +251,11 @@ class PipelineRunner:
             trainer.state = tree_into_vae_gan_state(trainer.state, restored)
         else:
             print("No existing autoencoder found. Training a new one...")
+            clock = _StageClock("vae_gan")
             best = float("inf")
             best_tree = None
             best_epoch = 0
+            saved_best_epoch = None
             # Fused path: the best-state carry (reference per-epoch policy,
             # v1:1177-1182) is tracked inside the dispatch and donated each
             # chunk; seed it with a COPY of the initial state (arg 0 is the
@@ -233,11 +276,13 @@ class PipelineRunner:
                 if self.fused_epochs:
                     n = self._chunk_size(epoch, vae_epochs,
                                          preset.vae_visualize_every, save_every)
-                    chunk, (best, maybe_epoch, best_state) = trainer.run_epochs_fused(
-                        self.train_ds, epoch, vae_epochs, n,
-                        jax.random.fold_in(vae_rng, epoch), batch_size,
-                        mesh=self.mesh, best=(best, best_state),
-                    )
+                    with clock.track("dispatch"):
+                        chunk, (best, maybe_epoch, best_state) = \
+                            trainer.run_epochs_fused(
+                                self.train_ds, epoch, vae_epochs, n,
+                                jax.random.fold_in(vae_rng, epoch), batch_size,
+                                mesh=self.mesh, best=(best, best_state),
+                            )
                     if maybe_epoch is not None:
                         best_epoch = maybe_epoch
                         best_tree = True  # sentinel: best_state holds it
@@ -277,34 +322,47 @@ class PipelineRunner:
                 epoch += len(chunk)
                 if (epoch % save_every == 0 or epoch == vae_epochs) \
                         and best_tree is not None:
-                    vae_ckpt.save(best_epoch, self._best_as_tree(
-                        best_tree, best_state))
+                    with clock.track("ckpt_save"):
+                        vae_ckpt.save(best_epoch, self._best_as_tree(
+                            best_tree, best_state))
+                    saved_best_epoch = best_epoch
                 if (epoch % preset.vae_visualize_every == 0
                         or epoch == vae_epochs) and cadence_viz:
-                    self._vae_viz(trainer, epoch)
-            if best_tree is not None:
-                vae_ckpt.save(best_epoch, self._best_as_tree(best_tree, best_state))
-            vae_ckpt.save(vae_epochs, vae_gan_state_to_tree(trainer.state))
+                    with clock.track("viz"):
+                        self._vae_viz(trainer, epoch)
+            # The loop's final iteration (epoch == vae_epochs) already saved
+            # the best state — don't pay the ~1 GB tunnel D2H twice.
+            if best_tree is not None and saved_best_epoch != best_epoch:
+                with clock.track("ckpt_save"):
+                    vae_ckpt.save(best_epoch,
+                                  self._best_as_tree(best_tree, best_state))
+            with clock.track("ckpt_save"):
+                vae_ckpt.save(vae_epochs, vae_gan_state_to_tree(trainer.state))
             history.save_jsonl(os.path.join(self.results_dir, "vae_history.jsonl"))
             viz.plot_loss_curves(
                 history.history,
                 os.path.join(self.results_dir, "autoencoder_losses.png"),
             )
+            clock.done()
 
         vae, vae_params = trainer.vae, trainer.state.gen.params
         self._trained_vae = (vae, vae_params)
+        setup_clock = _StageClock("inter_stage_setup")
         decode_fn, encode_mu_fn, encode_decode_fn = self._vae_fns(vae, vae_params)
-        print(f"VAE recon PSNR: {self._recon_psnr(encode_decode_fn):.2f} dB "
-              f"(held-out) / "
-              f"{self._recon_psnr(encode_decode_fn, images=self.train_images_eval):.2f} dB (train)")
+        with setup_clock.track("recon_psnr"):
+            print(f"VAE recon PSNR: {self._recon_psnr(encode_decode_fn):.2f} dB "
+                  f"(held-out) / "
+                  f"{self._recon_psnr(encode_decode_fn, images=self.train_images_eval):.2f} dB (train)")
 
         # ---- Latent diffusion: resume + train (v1:1340-1405). ----
         lat_cfg = dataclasses.replace(preset.latent, steps_per_epoch=steps_per_epoch)
         latent_stats = None
         if lat_cfg.normalize_latents:
-            latent_stats = self._compute_latent_stats(vae, vae_params)
+            with setup_clock.track("latent_stats"):
+                latent_stats = self._compute_latent_stats(vae, vae_params)
         diff = LatentDiffusionTrainer(lat_cfg, vae, diff_rng,
                                       latent_stats=latent_stats)
+        setup_clock.done()
         diff_ckpt = CheckpointManager(os.path.join(self.results_dir, "ckpt_diffusion"))
         start_epoch = 0
         if checkpoint_path:
@@ -329,16 +387,19 @@ class PipelineRunner:
         diff_losses = []
         ep_rng = np.random.default_rng(self.seed + 1)
         epoch = start_epoch
+        clock = _StageClock("latent_ddpm")
+        saved_at = None
         while epoch < total_epochs:
             if self.fused_epochs:
                 n = self._chunk_size(
                     epoch, total_epochs, viz_cadence, ckpt_every
                 )
-                chunk = diff.run_epochs_fused(
-                    self.train_ds, n, vae_params,
-                    jax.random.fold_in(diff_rng, epoch), batch_size,
-                    mesh=self.mesh,
-                )
+                with clock.track("dispatch"):
+                    chunk = diff.run_epochs_fused(
+                        self.train_ds, n, vae_params,
+                        jax.random.fold_in(diff_rng, epoch), batch_size,
+                        mesh=self.mesh,
+                    )
             else:
                 batches = self.train_ds.batches(ep_rng, batch_size)
                 chunk = [diff.run_epoch(
@@ -349,11 +410,18 @@ class PipelineRunner:
                 print(f"Epoch {epoch + off + 1}/{total_epochs}, Average Loss: {loss:.6f}")
             epoch += len(chunk)
             if cadence_viz and epoch % preset.diffusion_visualize_every == 0:
-                self._diffusion_viz(diff, decode_fn, encode_mu_fn, epoch)
+                with clock.track("viz"):
+                    self._diffusion_viz(diff, decode_fn, encode_mu_fn, epoch)
             if epoch % ckpt_every == 0 or epoch == total_epochs:
-                diff_ckpt.save(epoch, state_to_tree(diff.state))
+                with clock.track("ckpt_save"):
+                    diff_ckpt.save(epoch, state_to_tree(diff.state))
+                saved_at = epoch
         if diff_losses:
-            diff_ckpt.save(total_epochs, state_to_tree(diff.state))
+            # Skip the redundant end-of-stage save when the loop's last
+            # iteration already wrote step `total_epochs`.
+            if saved_at != total_epochs:
+                with clock.track("ckpt_save"):
+                    diff_ckpt.save(total_epochs, state_to_tree(diff.state))
             viz.plot_single_loss_curve(
                 diff_losses,
                 os.path.join(
@@ -363,9 +431,13 @@ class PipelineRunner:
                 start_epoch=start_epoch or None,
             )
 
+        clock.done()
+
         # ---- Final sweep (v1:1406-1429). ----
         if final_sweep:
+            sweep_clock = _StageClock("final_sweep")
             self._final_sweep(diff, decode_fn, encode_mu_fn)
+            sweep_clock.done()
         return trainer, diff
 
     # ------------------------------------------------------------------ #

@@ -129,6 +129,15 @@ class CheckpointManager:
         for stale in (staging, backup):
             if os.path.exists(stale):
                 shutil.rmtree(stale)
+        # Fetch the whole tree to HOST in one bulk device_get before handing
+        # it to Orbax — the mirror of restore()'s bulk-upload fix below:
+        # passing device arrays lets Orbax pull each leaf in small async
+        # chunks (~8.5 MB/s measured on the tunneled runtime — a ~100 s save
+        # for the 864 MB VAE-GAN state, 25% of the round-5 flagship VAE
+        # stage) vs ~80 MB/s for one bulk transfer.
+        import jax
+
+        tree = jax.device_get(tree)
         # Orbax commits `staging` atomically (tmp write + rename).
         self._ckptr.save(staging, tree)
         self._ckptr.wait_until_finished()
