@@ -226,8 +226,19 @@ class PipelineRunner:
         final_sweep: bool = True,
         cadence_viz: bool = True,
         checkpoint_every: Optional[int] = None,
+        restore_scope: str = "full",
     ):
+        """restore_scope: "full" uploads the complete checkpointed state
+        (exact resume — required to continue training); "params" uploads
+        only the sampling-relevant subtrees (VAE generator params, diffusion
+        params + EMA), leaving optimizer moments at init. Sampling-only
+        consumers (serving, eval tools) use "params": every uploaded byte
+        crosses the tunnel, and the full VAE-GAN state is ~3x its generator
+        params. Single-device only (mesh runs re-apply shardings on the
+        full-restore path)."""
         preset = self.preset
+        if self.mesh is not None and getattr(self.mesh, "size", 1) > 1:
+            restore_scope = "full"
         assert preset.vae is not None and preset.latent is not None
         batch_size = batch_size or preset.batch_size
         steps_per_epoch = max(1, self.train_ds.n // batch_size)
@@ -247,8 +258,17 @@ class PipelineRunner:
         history = LossHistory()
         if vae_ckpt.exists():
             print(f"Loading existing autoencoder from {vae_ckpt.directory}")
-            restored = vae_ckpt.restore(like=vae_gan_state_to_tree(trainer.state))
-            trainer.state = tree_into_vae_gan_state(trainer.state, restored)
+            like_tree = vae_gan_state_to_tree(trainer.state)
+            if restore_scope == "params":
+                host = vae_ckpt.restore_host(like=like_tree)
+                gen_params = jax.device_put(host["gen"]["params"])
+                jax.block_until_ready(gen_params)
+                trainer.state = trainer.state.replace(
+                    gen=trainer.state.gen.replace(params=gen_params)
+                )
+            else:
+                restored = vae_ckpt.restore(like=like_tree)
+                trainer.state = tree_into_vae_gan_state(trainer.state, restored)
         else:
             print("No existing autoencoder found. Training a new one...")
             clock = _StageClock("vae_gan")
@@ -349,10 +369,11 @@ class PipelineRunner:
         self._trained_vae = (vae, vae_params)
         setup_clock = _StageClock("inter_stage_setup")
         decode_fn, encode_mu_fn, encode_decode_fn = self._vae_fns(vae, vae_params)
-        with setup_clock.track("recon_psnr"):
-            print(f"VAE recon PSNR: {self._recon_psnr(encode_decode_fn):.2f} dB "
-                  f"(held-out) / "
-                  f"{self._recon_psnr(encode_decode_fn, images=self.train_images_eval):.2f} dB (train)")
+        if restore_scope != "params":  # skip the 2-eval PSNR in sampling-only loads
+            with setup_clock.track("recon_psnr"):
+                print(f"VAE recon PSNR: {self._recon_psnr(encode_decode_fn):.2f} dB "
+                      f"(held-out) / "
+                      f"{self._recon_psnr(encode_decode_fn, images=self.train_images_eval):.2f} dB (train)")
 
         # ---- Latent diffusion: resume + train (v1:1340-1405). ----
         lat_cfg = dataclasses.replace(preset.latent, steps_per_epoch=steps_per_epoch)
@@ -374,8 +395,16 @@ class PipelineRunner:
                 print(f"Continuing training from epoch {start_epoch}")
         elif diff_ckpt.exists():
             start_epoch = diff_ckpt.latest_step()
-            restored = diff_ckpt.restore(like=state_to_tree(diff.state))
-            diff.state = tree_into_state(diff.state, restored)
+            if restore_scope == "params" and start_epoch >= total_epochs:
+                host = diff_ckpt.restore_host(like=state_to_tree(diff.state))
+                ups = jax.device_put({
+                    k: host[k] for k in ("params", "ema_params") if k in host
+                })
+                jax.block_until_ready(ups)
+                diff.state = diff.state.replace(**ups)
+            else:
+                restored = diff_ckpt.restore(like=state_to_tree(diff.state))
+                diff.state = tree_into_state(diff.state, restored)
             print(f"Loaded diffusion model at epoch {start_epoch}")
 
         # The reference checkpoints at every visualization cadence

@@ -535,7 +535,7 @@ def service_from_run(
         os.path.join(results_dir, "ckpt_diffusion")).latest_step()
     assert saved, f"no diffusion checkpoint under {results_dir}"
     _, diff = runner.run_latent(total_epochs=saved, final_sweep=False,
-                                cadence_viz=False)
+                                cadence_viz=False, restore_scope="params")
     vae, vae_params = runner._trained_vae
     return SamplingService(
         diff.model, {"params": diff.sampling_params}, vae, vae_params,

@@ -159,6 +159,29 @@ class CheckpointManager:
             shutil.rmtree(self._step_dir(s))
             excess -= 1
 
+    def restore_host(self, step: Optional[int] = None, like: Any = None) -> Any:
+        """Restore to HOST numpy only — no device upload. For
+        sampling-only consumers (serving, eval tools) that upload a small
+        subtree themselves: the disk read is local and fast, while every
+        device_put byte crosses the tunnel (~1-20 MB/s); a full 864 MB
+        VAE-GAN state upload costs minutes when only the ~280 MB generator
+        params (or less) are needed."""
+        import jax
+        import numpy as np
+
+        step = self.latest_step() if step is None else step
+        if step is None or not os.path.exists(self._step_dir(step)):
+            raise FileNotFoundError(
+                f"no checkpoint for step {step} in {self.directory}"
+            )
+        if like is None:
+            return self._ckptr.restore(self._step_dir(step))
+        like_np = jax.tree.map(
+            lambda a: np.empty(a.shape, a.dtype) if hasattr(a, "shape") else a,
+            like,
+        )
+        return self._ckptr.restore(self._step_dir(step), like_np)
+
     def restore(self, step: Optional[int] = None, like: Any = None) -> Any:
         step = self.latest_step() if step is None else step
         if step is None or not os.path.exists(self._step_dir(step)):

@@ -103,7 +103,7 @@ def main():
     # One restore drive builds the VAE + latent stats; later steps restore
     # into the same trainer.
     _, diff = runner.run_latent(total_epochs=steps[-1], final_sweep=False,
-                                cadence_viz=False)
+                                cadence_viz=False, restore_scope="params")
     vae, vae_params = runner._trained_vae
     decode_jit = jax.jit(
         lambda p, z: vae.apply({"params": p}, z, method=FlowerVAE.decode))

@@ -81,7 +81,7 @@ def main():
         os.path.join(args.results_dir, "ckpt_diffusion")).latest_step()
     assert saved, f"no diffusion checkpoint under {args.results_dir}"
     _, diff = runner.run_latent(total_epochs=saved, final_sweep=False,
-                                cadence_viz=False)
+                                cadence_viz=False, restore_scope="params")
 
     vae, vae_params = runner._trained_vae
     classify_jit = jax.jit(
