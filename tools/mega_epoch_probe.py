@@ -63,6 +63,16 @@ def main():
                     help="skip the XLA cached-path comparison timing")
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--hidden", default=None,
+                    help="comma widths, e.g. 192,384,768,384,192 "
+                         "(default: reference 256,512,1024,512,256). The "
+                         "round-5 ladder: reference width FAILS on the "
+                         "current terminal (opaque tpu_compile_helper exit 1"
+                         " — the r4 terminal gave a clean 174.5MB VMEM "
+                         "diagnostic; local AOT diagnosis is blocked by a "
+                         "client/terminal libtpu version mismatch), while "
+                         "(192,384,768,384,192) and below compile and run "
+                         "3-6x faster than the same-width XLA cached path.")
     args = ap.parse_args()
 
     from flowerdiff.kernels.train_epoch import make_mega_epoch_fn
@@ -72,15 +82,18 @@ def main():
     )
 
     S, B = args.steps, args.batch
+    hidden = (tuple(int(x) for x in args.hidden.split(","))
+              if args.hidden else (256, 512, 1024, 512, 256))
     cfg = LatentDiffusionConfig(  # reference width, flagship recipe knobs
-        steps_per_epoch=S, cond_dropout=0.1,
+        steps_per_epoch=S, cond_dropout=0.1, hidden_dims=hidden,
     )
     state, model, sched = create_latent_diffusion_state(jax.random.key(0), cfg)
     z_rows = jax.random.normal(jax.random.key(1), (S, B, cfg.latent_dim))
     labels = jax.random.randint(jax.random.key(2), (S, B), 0, cfg.num_classes)
 
     out = {"backend": jax.default_backend(), "steps_per_epoch": S,
-           "batch": B, "width": "reference"}
+           "batch": B,
+           "width": "reference" if args.hidden is None else str(hidden)}
 
     print(f"[probe] backend={jax.default_backend()} S={S} B={B} "
           f"hidden={cfg.hidden_dims}", flush=True)
