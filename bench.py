@@ -53,6 +53,12 @@ def measure_ours(batch=50, n_steps=1000, latent=256, k_short=4, k_long=16):
     _log(f"devices: {jax.devices()}")
     model = ConditionalLatentDenoiser()
     vae = FlowerVAE()
+    # Same params, bf16 compute dtype for the decoder convs (params stay
+    # f32; flax casts per-op). Measured round 5: the f32 decode ran at
+    # 20.4% MFU and was the pipeline's weakest stage (the sampler kernel
+    # alone runs at ~83%); bf16 decode is 1.45x (3.23 -> 2.23 ms at b50)
+    # with images matching f32 to < 1/255 (tests/test_bf16_resident.py).
+    vae_bf16 = FlowerVAE(dtype=jnp.bfloat16)
     rng = jax.random.key(0)
     params = model.init(rng, jnp.zeros((1, latent)), jnp.zeros((1,), jnp.int32),
                         jnp.zeros((1,), jnp.int32))
@@ -97,6 +103,13 @@ def measure_ours(batch=50, n_steps=1000, latent=256, k_short=4, k_long=16):
                          prep={**prep_arrays, "n_stages": prep["n_stages"]})
         return vae.apply(vp, z, method=FlowerVAE.decode)[:batch]
 
+    @jax.jit
+    def pipeline_fused_bf16dec_jit(p, prep_arrays, vp, img, key):
+        cc = (classes + img[0, 0, 0, 0].astype(jnp.int32) % 2) % 102
+        z = fused_sample(model, p, sched, key, batch, cc,
+                         prep={**prep_arrays, "n_stages": prep["n_stages"]})
+        return vae_bf16.apply(vp, z, method=FlowerVAE.decode)
+
     prep_arrays = {k: v for k, v in prep.items() if k != "n_stages"}
     sp = sampler.params
 
@@ -111,6 +124,10 @@ def measure_ours(batch=50, n_steps=1000, latent=256, k_short=4, k_long=16):
         return pipeline_fused_lane_jit(params, prep_arrays, vae_params, img,
                                        jax.random.fold_in(rng, i))
 
+    def pipeline_fused_bf16dec(img, i):
+        return pipeline_fused_bf16dec_jit(params, prep_arrays, vae_params, img,
+                                          jax.random.fold_in(rng, i))
+
     def chain_time(fn, k):
         x = jnp.zeros((batch, 64, 64, 3))
         t0 = time.perf_counter()
@@ -122,7 +139,8 @@ def measure_ours(batch=50, n_steps=1000, latent=256, k_short=4, k_long=16):
     results = {}
     for name, fn in (("xla_scan", pipeline_xla),
                      ("pallas_fused", pipeline_fused),
-                     ("pallas_fused_64lane", pipeline_fused_lane)):
+                     ("pallas_fused_64lane", pipeline_fused_lane),
+                     ("pallas_fused_bf16dec", pipeline_fused_bf16dec)):
         _log(f"compiling/warming {name}...")
         chain_time(fn, 2)  # warm/compile
         t_short = min(chain_time(fn, k_short) for _ in range(2))

@@ -20,8 +20,16 @@ issues ~50 small XLA ops. This kernel removes the per-step program entirely:
     (bf16 tolerance) for verification.
   - per-class conditioning projections are time-invariant, so they are
     precomputed OUTSIDE (one tiny XLA call per sampling request) and enter
-    the kernel as (B, d) adds; only the time-embedding MLP and per-stage
-    time projections (a few 1-row matmuls) run per step.
+    the kernel as (B, d) adds.
+  - the per-STEP time contributions (sinusoid -> time-MLP -> per-stage
+    time projections) are ALSO precomputed outside, as (n_steps, d)
+    lookup tables: in-kernel they were M=1 matmuls, and the MXU charges a
+    1-row matmul the same tile time as a 128-row one — at batch 50 the
+    time path was ~13% of the kernel's matmul tiles plus per-step
+    transcendentals (round-5 MFU work, VERDICT r4 item 9). Outside, the
+    whole table is a handful of 1000-row matmuls (~0.07% of pipeline
+    FLOPs, amortized over the request); in-kernel each step does one
+    dynamic row load per stage. VMEM cost ~11 MB f32 at reference width.
 
 Use `fused_sample(model, params, ...)` as a drop-in for diffusion.sampler's
 ancestral `sample` on the latent pipeline.
@@ -81,19 +89,17 @@ def _make_kernel(n_stages: int, n_steps: int, stochastic: bool,
 
         seed_ref = nxt()          # (1, 1) int32 SMEM
         x_init_ref = nxt()        # (B, latent) f32
-        freqs_ref = nxt()         # (1, half) f32
         beta_ref = nxt()          # (n_steps, 1) f32
         alpha_ref = nxt()
         abar_ref = nxt()
-        tw1 = nxt(); tb1 = nxt(); tw2 = nxt(); tb2 = nxt()   # time-emb MLP
         wl = nxt(); bl = nxt()                               # latent proj
         stages = []
         for _ in range(n_stages):
             stages.append({name: nxt() for name in (
-                "wt", "bt", "cond", "wb", "bb", "g1", "b1", "g2", "b2",
+                "tadd", "cond", "wb", "bb", "g1", "b1", "g2", "b2",
                 "wv", "bv", "wo", "bo", "wd", "bd",
             )})
-        wtf = nxt(); btf = nxt()          # final time proj
+        tadd_f = nxt()                    # (n_steps, latent) final time add
         cond_f = nxt()                    # (B, latent) final cond add
         gf = nxt(); bff = nxt()           # final norm affine
         wf = nxt(); bf_ = nxt()           # final dense
@@ -102,20 +108,16 @@ def _make_kernel(n_stages: int, n_steps: int, stochastic: bool,
         if stochastic:
             pltpu.prng_seed(seed_ref[0, 0])
 
-        def time_base(t_f32):
-            # Sinusoidal time embedding (core/embeddings.py semantics).
-            args = t_f32 * freqs_ref[:]
-            emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
-            tb = _mm(emb, tw1[:], tb1[:])
-            tb = tb * jax.nn.sigmoid(tb)
-            return _mm(tb, tw2[:], tb2[:])  # (1, temb)
+        def t_row(ref, t):
+            # Dynamic (1, d) row load from a precomputed (n_steps, d) table.
+            return ref[pl.ds(t, 1), :]
 
-        def eps_model(x, t_base, use_cond=True):
+        def eps_model(x, t, use_cond=True):
             # use_cond=False runs the null-condition branch for in-kernel
             # classifier-free guidance (zeroed condition adds).
             h = _mm(x, wl[:], bl[:])
             for s in stages:
-                h = h + _mm(t_base, s["wt"][:], s["bt"][:])
+                h = h + t_row(s["tadd"], t)
                 if use_cond:
                     h = h + s["cond"][:]
                 u = _ln(_mm(h, s["wb"][:], s["bb"][:]), s["g1"][:], s["b1"][:])
@@ -124,7 +126,7 @@ def _make_kernel(n_stages: int, n_steps: int, stochastic: bool,
                 hn = _ln(h, s["g2"][:], s["b2"][:])
                 h = h + _mm(_mm(hn, s["wv"][:], s["bv"][:]), s["wo"][:], s["bo"][:])
                 h = _mm(h, s["wd"][:], s["bd"][:])
-            h = h + _mm(t_base, wtf[:], btf[:])
+            h = h + t_row(tadd_f, t)
             if use_cond:
                 h = h + cond_f[:]
             h = _ln(h, gf[:], bff[:])
@@ -132,12 +134,11 @@ def _make_kernel(n_stages: int, n_steps: int, stochastic: bool,
 
         def step(i, x):
             t = n_steps - 1 - i
-            t_base = time_base(jnp.float32(t))
             if guidance_scale is None:
-                eps = eps_model(x, t_base)
+                eps = eps_model(x, t)
             else:
-                eps_c = eps_model(x, t_base, use_cond=True)
-                eps_u = eps_model(x, t_base, use_cond=False)
+                eps_c = eps_model(x, t, use_cond=True)
+                eps_u = eps_model(x, t, use_cond=False)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
             a = alpha_ref[t, 0]
             ab = abar_ref[t, 0]
@@ -276,14 +277,26 @@ def _pallas_reverse(prep, sched_tables, x_init, cond_adds, cond_final, seed,
         jax.lax.iota(jnp.float32, half) * (-math.log(10000.0) / (half - 1))
     ).reshape(1, half)
 
-    args = [seed, x_init, freqs, beta2, alpha2, abar2,
-            prep["tw1"], prep["tb1"], prep["tw2"], prep["tb2"],
+    # Per-step time contributions for ALL n_steps at once (sinusoid ->
+    # time-MLP -> per-stage projections), as (n_steps, d) tables the kernel
+    # row-indexes by t. Same ops/dtypes the kernel used to run per step at
+    # M=1; here they are n_steps-row matmuls, amortized over the request.
+    ts = jax.lax.iota(jnp.float32, n_steps).reshape(n_steps, 1)
+    emb_args = ts * freqs
+    emb = jnp.concatenate([jnp.sin(emb_args), jnp.cos(emb_args)], axis=1)
+    tb = _mm(emb, prep["tw1"], prep["tb1"])
+    tb = tb * jax.nn.sigmoid(tb)
+    t_base_all = _mm(tb, prep["tw2"], prep["tb2"])          # (n_steps, temb)
+    tadds = [_mm(t_base_all, s["wt"], s["bt"]) for s in prep["stages"]]
+    tadd_final = _mm(t_base_all, prep["wtf"], prep["btf"])  # (n_steps, latent)
+
+    args = [seed, x_init, beta2, alpha2, abar2,
             prep["wl"], prep["bl"]]
     for i, s in enumerate(prep["stages"]):
-        args += [s["wt"], s["bt"], cond_adds[i], s["wb"], s["bb"],
+        args += [tadds[i], cond_adds[i], s["wb"], s["bb"],
                  s["g1"], s["b1"], s["g2"], s["b2"],
                  s["wv"], s["bv"], s["wo"], s["bo"], s["wd"], s["bd"]]
-    args += [prep["wtf"], prep["btf"], cond_final,
+    args += [tadd_final, cond_final,
              prep["gf"], prep["bff"], prep["wf"], prep["bf_"]]
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [

@@ -51,6 +51,7 @@ class SamplingService:
         sampler_kind: str = "ancestral",
         ddim_steps: int = 50,
         quantize_uint8: bool = False,
+        decode_bf16: bool = False,
     ):
         """latent_stats: (mean, std) per-dim arrays when the model was
         trained z-scored (runner saves them as latent_stats.npz).
@@ -64,7 +65,17 @@ class SamplingService:
         4x fewer device->host bytes than f32 on the serving-critical D2H
         path (the tunnel transfer dominated the round-3 ceiling;
         artifacts/serving_smoke). PNG encoding consumes uint8 anyway;
-        float consumers divide by 255."""
+        float consumers divide by 255.
+        decode_bf16: run the decoder convs in bf16 compute dtype (params
+        stay f32). The f32 decode measured 20.4% MFU vs the sampler
+        kernel's ~83% (round 5, BASELINE.md); bf16 is 1.45x on-chip and
+        matches f32 to sub-uint8-quantization error
+        (tests/test_bf16_resident.py::TestBF16Decode). Output is cast back
+        to f32 (or quantized to uint8 as usual), so consumers see the same
+        contract."""
+        if decode_bf16:
+            vae = vae.clone(dtype=jnp.bfloat16)
+        self.decode_bf16 = decode_bf16
         self.model = model
         self.params = params
         self.sched = sched or linear_schedule()
@@ -95,6 +106,7 @@ class SamplingService:
         # call and blow up compile time)
         def _dec(vp, z):
             img = vae.apply(vp, z, method=FlowerVAE.decode)
+            img = img.astype(jnp.float32)  # no-op unless decode_bf16
             if quantize_uint8:
                 img = jnp.round(
                     jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
@@ -491,6 +503,7 @@ def service_from_run(
     ddim_steps: int = 50,
     buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
     quantize_uint8: bool = False,
+    decode_bf16: bool = False,
 ) -> "SamplingService":
     """Build a :class:`SamplingService` from a finished run's results dir.
 
@@ -542,7 +555,7 @@ def service_from_run(
         sched=diff.sched, buckets=tuple(sorted(buckets)),
         latent_stats=diff.latent_stats, clip_x0=diff.cfg.clip_denoised,
         sampler_kind=sampler_kind, ddim_steps=ddim_steps,
-        quantize_uint8=quantize_uint8,
+        quantize_uint8=quantize_uint8, decode_bf16=decode_bf16,
     )
 
 

@@ -148,3 +148,30 @@ class TestBF16TrainStep:
         assert np.isfinite(float(metrics["perceptual"]))
         after = np.asarray(jax.tree.leaves(new_state.gen.params)[0])
         assert not np.allclose(before, after)
+
+
+class TestBF16Decode:
+    def test_bf16_decode_matches_f32_within_quantization(self):
+        """The serving/bench decode lane runs the decoder convs in bf16
+        (params stay f32). Images live in [0,1] and are consumed as uint8
+        (serving quantizes on device), so the pin is sub-quantization
+        agreement with the f32 decode: mean abs error well under 1/255.
+        (Round-5 motivation: f32 decode measured 20.4% MFU vs the sampler
+        kernel's ~83% — bench.py pallas_fused_bf16dec lane.)"""
+        from flowerdiff.models.vae import FlowerVAE
+
+        vae32 = FlowerVAE(latent_dim=32, channels=(8, 12, 16, 24), head_width=32)
+        vae16 = FlowerVAE(latent_dim=32, channels=(8, 12, 16, 24), head_width=32,
+                          dtype=jnp.bfloat16)
+        rng = jax.random.key(0)
+        vp = vae32.init({"params": rng}, jnp.zeros((1, 64, 64, 3)), rng,
+                        method=FlowerVAE.init_all)
+        z = jax.random.normal(jax.random.key(1), (8, 32), jnp.float32) * 2.0
+        img32 = np.asarray(vae32.apply(vp, z, method=FlowerVAE.decode))
+        img16 = np.asarray(
+            vae16.apply(vp, z, method=FlowerVAE.decode), np.float32)
+        assert img32.shape == img16.shape == (8, 64, 64, 3)
+        mae = float(np.mean(np.abs(img32 - img16)))
+        mx = float(np.max(np.abs(img32 - img16)))
+        assert mae < 1.0 / 255.0, mae
+        assert mx < 16.0 / 255.0, mx

@@ -224,3 +224,28 @@ def test_pixel_service_determinism_across_chunking():
     a = service.sample_images(5, jax.random.key(7))
     b = service.sample_images(5, jax.random.key(7))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_decode_bf16_service_contract():
+    """decode_bf16=True runs the decoder convs in bf16 but the service
+    contract is unchanged: f32 images in [0,1] (or uint8 with
+    quantize_uint8), matching the f32 service to sub-quantization error."""
+    model = ConditionalLatentDenoiser(
+        latent_dim=16, hidden_dims=(16, 32, 16), time_emb_dim=16, num_classes=6
+    )
+    vae = FlowerVAE(latent_dim=16, num_classes=6,
+                    channels=(8, 16, 24, 32), head_width=32)
+    rng = jax.random.key(0)
+    params = model.init(rng, jnp.zeros((1, 16)), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32))
+    vae_params = vae.init({"params": rng}, jnp.zeros((1, 64, 64, 3)), rng,
+                          method=FlowerVAE.init_all)
+    kw = dict(sched=linear_schedule(8), use_fused=False, buckets=(4,))
+    svc32 = SamplingService(model, params, vae, vae_params, **kw)
+    svc16 = SamplingService(model, params, vae, vae_params,
+                            decode_bf16=True, **kw)
+    img32 = svc32.sample_classes([0, 3], n_per_class=2, rng=jax.random.key(1))
+    img16 = svc16.sample_classes([0, 3], n_per_class=2, rng=jax.random.key(1))
+    assert img16.dtype == np.float32
+    assert img16.shape == img32.shape == (4, 64, 64, 3)
+    assert float(np.mean(np.abs(img32 - img16))) < 1.0 / 255.0

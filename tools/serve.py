@@ -53,6 +53,10 @@ def add_service_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--no_quantize", action="store_true",
                     help="keep f32 device->host image transfers (default: "
                          "on-device uint8 quantization, 4x fewer D2H bytes)")
+    ap.add_argument("--decode_bf16", action="store_true",
+                    help="run the VAE decoder convs in bf16 (1.45x decode "
+                         "on-chip, sub-quantization image error; "
+                         "tests/test_bf16_resident.py::TestBF16Decode)")
 
 
 def build_service(args):
@@ -76,6 +80,7 @@ def build_service(args):
         guidance_scale=args.guidance_scale, sampler_kind=args.sampler,
         ddim_steps=args.ddim_steps, buckets=buckets,
         quantize_uint8=quantize,
+        decode_bf16=getattr(args, "decode_bf16", False),
     )
 
 
