@@ -175,11 +175,11 @@ class PipelineRunner:
                 else best_tree)
 
     def _chunk_size(self, epoch: int, total: int,
-                    *cadences: Optional[int]) -> int:
+                    *cadences: Optional[int], cap: Optional[int] = None) -> int:
         """Epochs for the next fused dispatch: never crosses a viz/checkpoint
         cadence boundary (so cadence artifacts still appear at the same
         absolute epochs as the per-step loop) and never exceeds the cap."""
-        n = min(self.max_epochs_per_dispatch, total - epoch)
+        n = min(cap or self.max_epochs_per_dispatch, total - epoch)
         for cadence in cadences:
             if cadence:
                 n = min(n, cadence - (epoch % cadence))
@@ -420,8 +420,15 @@ class PipelineRunner:
         saved_at = None
         while epoch < total_epochs:
             if self.fused_epochs:
+                # Latent-cache runs keep the chip busy across pool-refresh
+                # windows only if the host enqueues them without syncing
+                # (run_epochs_cached defers its loss fetch), so give that
+                # path much larger chunks — the per-chunk cost left is one
+                # key_data fetch and the per-epoch print lines.
+                cached = getattr(diff.cfg, "latent_cache", 0) > 0
                 n = self._chunk_size(
-                    epoch, total_epochs, viz_cadence, ckpt_every
+                    epoch, total_epochs, viz_cadence, ckpt_every,
+                    cap=1000 if cached else None,
                 )
                 with clock.track("dispatch"):
                     chunk = diff.run_epochs_fused(

@@ -390,7 +390,19 @@ class LatentDiffusionTrainer:
             )
         builder = self._fused["cache_builder"]
 
+        # The per-take loop below must stay free of device round-trips so
+        # that successive pool-refresh-window dispatches ENQUEUE back-to-back
+        # and the chip never idles between them (round 5: the flagship's
+        # steady 19.3 ms/epoch vs the 6.7 ms chained measurement was
+        # per-chunk host synchronization — a device randint fetch for the
+        # shuffle seed and a blocking loss fetch per refresh window, each a
+        # full tunnel round-trip that serialized the pipeline). One key_data
+        # fetch up front seeds a deterministic host-side shuffle stream; the
+        # loss fetch moves to one drain after every dispatch is in flight.
+        key_words = np.asarray(jax.random.key_data(rng)).ravel().tolist()
+
         losses_out = []
+        pending = []  # (device losses, take, steps) per dispatched window
         done = 0
         while done < epochs:
             if self._z_pool is None or (refresh > 0
@@ -407,9 +419,8 @@ class LatentDiffusionTrainer:
             if refresh > 0:
                 take = min(take, refresh - self._pool_age)
 
-            host_seed = int(jax.random.randint(
-                jax.random.fold_in(jax.random.fold_in(rng, 1), done),
-                (), 0, 2**31 - 1))
+            host_seed = int(np.random.default_rng(
+                key_words + [done]).integers(0, 2**31 - 1))
             idx, offsets, steps = epoch_rows(host_seed, dataset.n,
                                              batch_size, take)
             key = ("cached", idx.shape[0], idx.shape[1], steps)
@@ -425,10 +436,12 @@ class LatentDiffusionTrainer:
                 dataset.colors if has_colors else None, idx, offsets,
                 step_rng, pool_rng,
             )
-            losses = np.asarray(jax.device_get(losses)).reshape(take, steps)
-            losses_out.extend(losses.mean(axis=1).tolist())
+            pending.append((losses, take, steps))
             done += take
             self._pool_age += take
+        for losses, take, steps in pending:
+            host = np.asarray(jax.device_get(losses)).reshape(take, steps)
+            losses_out.extend(host.mean(axis=1).tolist())
         return losses_out
 
     @property
