@@ -472,7 +472,8 @@ class PipelineRunner:
         # ---- Final sweep (v1:1406-1429). ----
         if final_sweep:
             sweep_clock = _StageClock("final_sweep")
-            self._final_sweep(diff, decode_fn, encode_mu_fn)
+            self._final_sweep(diff, decode_fn, encode_mu_fn,
+                              clock=sweep_clock)
             sweep_clock.done()
         return trainer, diff
 
@@ -767,27 +768,34 @@ class PipelineRunner:
                 ),
             )
 
-    def _final_sweep(self, diff, decode_fn, encode_mu_fn):
+    def _final_sweep(self, diff, decode_fn, encode_mu_fn, clock=None):
         """Sample grid + 10 denoising paths + 10 GIFs (v1:1406-1429), plus
         the quantitative quality report (beyond-reference; utils/quality.py)."""
+        clock = clock or _StageClock("final_sweep(detached)")
         _raw, sampler = self._viz_sampler(diff)
-        self._quality_report(sampler, encode_mu_fn)
-        viz.generate_samples_grid(
-            sampler, decode_fn, self.class_names, save_dir=self.results_dir,
-        )
+        with clock.track("quality_report"):
+            self._quality_report(sampler, encode_mu_fn)
+        with clock.track("samples_grid"):
+            viz.generate_samples_grid(
+                sampler, decode_fn, self.class_names,
+                save_dir=self.results_dir,
+            )
         for class_idx in range(min(len(self.class_names), 10)):
             name = self.class_names[class_idx]
-            viz.visualize_denoising_steps(
-                encode_mu_fn, decode_fn, sampler,
-                self.test_images, np.asarray(self.test_labels),
-                class_idx, self.class_names,
-                save_path=os.path.join(
-                    self.results_dir, f"denoising_path_{name}_final.png"
-                ),
-            )
-            viz.create_diffusion_animation(
-                sampler, decode_fn, class_idx, self.class_names, fps=15,
-                save_path=os.path.join(
-                    self.results_dir, f"diffusion_animation_{name}_final.gif"
-                ),
-            )
+            with clock.track("denoising_paths"):
+                viz.visualize_denoising_steps(
+                    encode_mu_fn, decode_fn, sampler,
+                    self.test_images, np.asarray(self.test_labels),
+                    class_idx, self.class_names,
+                    save_path=os.path.join(
+                        self.results_dir, f"denoising_path_{name}_final.png"
+                    ),
+                )
+            with clock.track("animations"):
+                viz.create_diffusion_animation(
+                    sampler, decode_fn, class_idx, self.class_names, fps=15,
+                    save_path=os.path.join(
+                        self.results_dir,
+                        f"diffusion_animation_{name}_final.gif"
+                    ),
+                )
